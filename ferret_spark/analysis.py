@@ -1,0 +1,183 @@
+"""Analysis pipelines: tokenizers + token filters.
+
+Semantics ported from the reference (WHAT only):
+- WhitespaceTokenizer: maximal non-space runs       (c/src/analysis.c:285-312)
+- LetterTokenizer:     maximal alphabetic runs      (c/src/analysis.c:422-449)
+- StandardTokenizer:   Ragel rules approximated by one ordered-alternation
+                       regex                        (c/src/scanner.in:8-42)
+- LowerCaseFilter                                   (c/src/analysis.c:1376-1397)
+- StopFilter: drops stoplisted tokens but *keeps position gaps* by
+  accumulating pos_inc                              (c/src/analysis.c:1136-1192)
+- HyphenFilter: "multi-part-word" emits the concatenation then each part
+  (pos_inc 0 then 1,1,...)                          (c/src/analysis.c:1271-1335)
+
+Two execution surfaces share ONE implementation of the rules:
+- ``analyze(text)``                 pure Python, used by the oracle searcher
+- ``tokens_pandas(series)``         vectorized over a pandas Series, used
+                                    inside pandas/Arrow UDFs (never per-row
+                                    Python in the Spark hot path)
+
+Position encoding in the Spark path: a token array where the array index IS
+the position; stop-dropped slots hold None so `posexplode` + null-filter
+preserves positional gaps exactly like pos_inc accumulation. Pipelines with
+same-position emissions (hyphen concat) return explicit (term, pos) pair
+arrays instead.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterable
+
+import pandas as pd
+
+# Snowball list used by the reference's StandardAnalyzer default
+# (c/src/stopwords.c ENGLISH_STOP_WORDS; c/include/analysis.h:159-161).
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was with""".split()
+)
+
+_WS_RE = re.compile(r"\S+")
+_LETTER_RE = re.compile(r"[A-Za-z]+")
+# StandardTokenizer approximation, ordered alternation mirroring
+# c/src/scanner.in:8-42: URL-ish, email, acronym, hyphen/underscore compound
+# word, number, plain word. Possessive 's is stripped.
+_STANDARD_RE = re.compile(
+    r"""
+    [A-Za-z0-9]+://[^\s'"]+                      # URL
+  | [A-Za-z0-9_.+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+   # email
+  | (?:[A-Za-z]\.){2,}                           # acronym (dots stripped later)
+  | [+-]?\d+\.\d+                                # decimal number (before word)
+  | [A-Za-z0-9]+(?:[-_''][A-Za-z0-9]+)*          # word / compound
+  | [+-]?\d+                                     # signed integer
+    """,
+    re.VERBOSE,
+)
+_ACRONYM_RE = re.compile(r"^(?:[A-Za-z]\.){2,}$")
+_POSSESSIVE_RE = re.compile(r"['']s$")
+
+
+def _standard_post(tok: str) -> str:
+    tok = _POSSESSIVE_RE.sub("", tok)
+    if _ACRONYM_RE.match(tok):
+        tok = tok.replace(".", "")
+    return tok
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python pipeline (oracle)
+
+
+def _tokenize(text: str, kind: str) -> list[str]:
+    if kind == "whitespace":
+        return _WS_RE.findall(text)
+    if kind == "letter":
+        return _LETTER_RE.findall(text)
+    if kind == "standard":
+        return [_standard_post(t) for t in _STANDARD_RE.findall(text)]
+    raise ValueError(f"unknown tokenizer {kind!r}")
+
+
+class Analyzer:
+    """A named pipeline: tokenizer + ordered filters.
+
+    ``analyze(text)`` -> list of (term, position). Position gaps from stop
+    removal are preserved (pos_inc accumulation,
+    c/src/analysis.c:1143-1150).
+    """
+
+    def __init__(
+        self,
+        tokenizer: str = "letter",
+        lowercase: bool = True,
+        stop_words: frozenset | None = None,
+        hyphens: bool = False,
+        name: str | None = None,
+    ):
+        self.tokenizer = tokenizer
+        self.lowercase = lowercase
+        self.stop_words = stop_words
+        self.hyphens = hyphens
+        self.name = name or tokenizer
+
+    # -- oracle surface ----------------------------------------------------
+    def analyze(self, text: str) -> list[tuple[str, int]]:
+        toks = _tokenize(text, self.tokenizer)
+        if self.lowercase:
+            toks = [t.lower() for t in toks]
+        out: list[tuple[str, int]] = []
+        pos = -1
+        for t in toks:
+            pos += 1
+            if self.stop_words is not None and t in self.stop_words:
+                continue  # position still advanced (pos_inc accumulation)
+            if self.hyphens and "-" in t and not t.startswith("-"):
+                parts = [p for p in t.split("-") if p]
+                if len(parts) > 1:
+                    # concat at the token's position, then each part with
+                    # pos_inc 0,1,1,... (c/src/analysis.c:1271-1335)
+                    out.append(("".join(parts), pos))
+                    for j, p in enumerate(parts):
+                        out.append((p, pos + j))
+                    pos += len(parts) - 1
+                    continue
+            out.append((t, pos))
+        return out
+
+    # -- vectorized surface (inside pandas UDFs) ----------------------------
+    def tokens_pandas(self, s: pd.Series) -> pd.Series:
+        """Series[str] -> Series[list[str|None]] where index == position.
+
+        Hyphen pipelines are not expressible with index==position; they go
+        through ``pairs_pandas`` instead.
+        """
+        if self.hyphens:
+            raise ValueError("hyphen pipeline requires pairs_pandas")
+        s = s.fillna("")
+        if self.tokenizer == "whitespace":
+            toks = s.str.findall(_WS_RE)
+        elif self.tokenizer == "letter":
+            toks = s.str.findall(_LETTER_RE)
+        elif self.tokenizer == "standard":
+            toks = s.str.findall(_STANDARD_RE).map(
+                lambda ts: [_standard_post(t) for t in ts]
+            )
+        else:
+            raise ValueError(self.tokenizer)
+        if self.lowercase:
+            toks = toks.map(lambda ts: [t.lower() for t in ts])
+        if self.stop_words is not None:
+            sw = self.stop_words
+            toks = toks.map(lambda ts: [None if t in sw else t for t in ts])
+        return toks
+
+    def pairs_pandas(self, s: pd.Series) -> pd.Series:
+        """Series[str] -> Series[list[(term, pos)]] — general form."""
+        return s.fillna("").map(self.analyze)
+
+
+# Registry. The north-star default is letter+lowercase
+# (frt_letter_analyzer_new(true), c/src/analysis.c:534-540).
+ANALYZERS: dict[str, Analyzer] = {
+    "letter": Analyzer("letter", lowercase=True, name="letter"),
+    "whitespace": Analyzer("whitespace", lowercase=True, name="whitespace"),
+    "whitespace_raw": Analyzer("whitespace", lowercase=False, name="whitespace_raw"),
+    "standard": Analyzer(
+        "standard", lowercase=True, stop_words=ENGLISH_STOP_WORDS, name="standard"
+    ),
+    "standard_nostop": Analyzer("standard", lowercase=True, name="standard_nostop"),
+    "hyphen_ws": Analyzer(
+        "whitespace", lowercase=True, hyphens=True, name="hyphen_ws"
+    ),
+    "stop_ws": Analyzer(
+        "whitespace",
+        lowercase=True,
+        stop_words=ENGLISH_STOP_WORDS,
+        name="stop_ws",
+    ),
+}
+
+
+def get_analyzer(name: str) -> Analyzer:
+    return ANALYZERS[name]

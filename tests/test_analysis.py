@@ -1,0 +1,101 @@
+"""Tokenizer/filter goldens ported from the reference
+(c/test/test_analysis.c, ruby/test/unit/analysis/tc_token_stream.rb),
+restricted to the v1 pipeline (FIXTURES.md §5)."""
+
+import pandas as pd
+
+from ferret_spark.analysis import (
+    ENGLISH_STOP_WORDS,
+    Analyzer,
+    get_analyzer,
+)
+
+TEXT = 'DBalmain@gmail.com is My e-mail 52   #$ Address. 23#!$'
+
+
+def terms(pairs):
+    return [t for t, _ in pairs]
+
+
+def positions(pairs):
+    return [p for _, p in pairs]
+
+
+def test_whitespace_tokenizer():
+    a = Analyzer("whitespace", lowercase=False)
+    assert terms(a.analyze(TEXT)) == [
+        "DBalmain@gmail.com", "is", "My", "e-mail", "52", "#$",
+        "Address.", "23#!$",
+    ]
+    assert positions(a.analyze(TEXT)) == list(range(8))
+
+
+def test_whitespace_lower():
+    a = get_analyzer("whitespace")
+    assert terms(a.analyze(TEXT)) == [
+        "dbalmain@gmail.com", "is", "my", "e-mail", "52", "#$",
+        "address.", "23#!$",
+    ]
+
+
+def test_letter_tokenizer():
+    a = Analyzer("letter", lowercase=False)
+    assert terms(a.analyze(TEXT)) == [
+        "DBalmain", "gmail", "com", "is", "My", "e", "mail", "Address",
+    ]
+
+
+def test_letter_lower():
+    a = get_analyzer("letter")
+    assert terms(a.analyze(TEXT)) == [
+        "dbalmain", "gmail", "com", "is", "my", "e", "mail", "address",
+    ]
+
+
+def test_stop_filter_position_gaps():
+    # pos_inc accumulation across dropped tokens (c/src/analysis.c:1143-1150)
+    a = Analyzer("whitespace", lowercase=True, stop_words=ENGLISH_STOP_WORDS)
+    got = a.analyze("the quick brown fox and the lazy dog")
+    assert got == [("quick", 1), ("brown", 2), ("fox", 3), ("lazy", 6), ("dog", 7)]
+
+
+def test_hyphen_filter():
+    # concat then parts, pos_inc 0/1 (c/src/analysis.c:1271-1335)
+    a = Analyzer("whitespace", lowercase=True, hyphens=True)
+    got = a.analyze("start multi-hyphened-word end")
+    assert got == [
+        ("start", 0),
+        ("multihyphenedword", 1),
+        ("multi", 1),
+        ("hyphened", 2),
+        ("word", 3),
+        ("end", 4),
+    ]
+
+
+def test_standard_tokenizer_rules():
+    a = Analyzer("standard", lowercase=True)
+    got = terms(a.analyze("Dave's résumé, at http://www.davebalmain.com/ 1234.23"))
+    assert "dave" in got
+    assert "http://www.davebalmain.com/" in got
+    assert "1234.23" in got
+    # acronym dots stripped
+    assert terms(a.analyze("I.B.M. rocks")) == ["ibm", "rocks"]
+    # hyphen compound kept whole
+    assert terms(a.analyze("wal-mart under_score")) == ["wal-mart", "under_score"]
+
+
+def test_pandas_surface_matches_python():
+    texts = [TEXT, "the quick brown fox", "", "word1 word2 word1"]
+    for name in ["letter", "whitespace", "standard_nostop"]:
+        a = get_analyzer(name)
+        vec = a.tokens_pandas(pd.Series(texts))
+        for text, arr in zip(texts, vec):
+            got = [(t, i) for i, t in enumerate(arr) if t is not None]
+            assert got == a.analyze(text), (name, text)
+
+
+def test_stop_filter_pandas_none_slots():
+    a = Analyzer("whitespace", lowercase=True, stop_words=ENGLISH_STOP_WORDS)
+    arr = a.tokens_pandas(pd.Series(["the quick brown fox"]))[0]
+    assert arr == [None, "quick", "brown", "fox"]
