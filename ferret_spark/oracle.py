@@ -119,11 +119,20 @@ class OracleIndex:
         if isinstance(q, MatchAllQuery):
             return {d: q.boost * 1.0 for d in range(self.n_docs)}
         if isinstance(q, MultiTermQuery):
-            out: dict[int, float] = defaultdict(float)
+            # accumulate per-term contributions, then sum in sorted-term
+            # order and apply q.boost once — mirrors the Spark plan exactly
+            # so float64 addition order (and hence float32 ranks) match
+            contrib: dict[int, list[tuple[str, float]]] = defaultdict(list)
             for term, tboost in q.terms:
                 for d, s in self._score_term(q.field, term, tboost).items():
-                    out[d] += q.boost * s
-            return dict(out)
+                    contrib[d].append((term, s))
+            out = {}
+            for d, pairs in contrib.items():
+                s = 0.0
+                for _, v in sorted(pairs):
+                    s += v
+                out[d] = q.boost * s
+            return out
         if isinstance(q, RangeQuery):
             return {d: q.boost * 1.0 for d in self._range_docs(q)}
         if isinstance(q, BooleanQuery):

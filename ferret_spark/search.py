@@ -1,0 +1,411 @@
+"""Query planner: Query tree -> DataFrame plan (declarative read path).
+
+Each node plans to a DataFrame (doc_id: long, score: double); the root is
+cast to float32 and TakeOrderedAndProject'd (orderBy score desc, doc_id asc
+limit k — the bounded-PQ collector analog, c/src/search.c:91-99,157-174).
+
+Score parity discipline: every arithmetic expression mirrors the oracle's
+operation order exactly (float64 throughout, float32 cast only at the root),
+so Spark and oracle scores are bit-identical. Sum-reordering hazards
+(groupBy over many expanded terms) are removed by summing contributions in
+sorted-term order on both sides.
+
+Scale notes:
+- per-term df/idf constants are ONE batched driver lookup per query
+  (pushdown filter on the range-partitioned term_stats parquet).
+- a query's postings scan carries a pushed-down `term IN (...)` predicate —
+  parquet rowgroup stats prune like the .tii term-dict tier.
+- boolean MUST = inner joins (broadcastable when one side is a rare term),
+  MUST_NOT = left_anti, SHOULD = outer join accumulation; AQE handles skew.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ferret_spark.oracle import K1, B, bm25_idf
+from ferret_spark.query import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    Clause,
+    FuzzyQuery,
+    MatchAllQuery,
+    MultiTermQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RangeQuery,
+    TermQuery,
+    WildcardQuery,
+    MAX_EXPANDED_TERMS,
+    fuzzy_score,
+    glob_to_regex,
+    query_terms,
+)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side rewrite: multi-term expansion with SQL pushdown
+
+
+def spark_expand(index, q: Query) -> MultiTermQuery:
+    ts = index.term_stats
+    f = q.field
+    base = ts.where(F.col("field") == f)
+    if isinstance(q, PrefixQuery):
+        cand = base.where(F.col("term").startswith(q.prefix))
+        terms = sorted(r["term"] for r in cand.select("term").collect())
+        pairs = [(t, 1.0) for t in terms[:MAX_EXPANDED_TERMS]]
+    elif isinstance(q, WildcardQuery):
+        lit_prefix = q.pattern.split("*")[0].split("?")[0]
+        cand = base
+        if lit_prefix:
+            cand = cand.where(F.col("term").startswith(lit_prefix))
+        rx = glob_to_regex(q.pattern)
+        cand = cand.where(F.col("term").rlike(rx))
+        terms = sorted(r["term"] for r in cand.select("term").collect())
+        pairs = [(t, 1.0) for t in terms[:MAX_EXPANDED_TERMS]]
+    elif isinstance(q, FuzzyQuery):
+        pre = q.term[: q.prefix_len]
+        max_delta = int(math.ceil((1.0 - q.min_sim) * len(q.term))) + 1
+        cand = base.where(
+            F.length("term").between(
+                len(q.term) - max_delta, len(q.term) + max_delta
+            )
+        )
+        if pre:
+            cand = cand.where(F.col("term").startswith(pre))
+        pairs = []
+        for r in cand.select("term").collect():
+            t = r["term"]
+            s = fuzzy_score(q.term, t, q.prefix_len)
+            if s > q.min_sim:
+                pairs.append((t, s))
+        pairs.sort(key=lambda ts_: (-ts_[1], ts_[0]))
+        pairs = pairs[:MAX_EXPANDED_TERMS]
+    else:  # pragma: no cover
+        raise TypeError(type(q))
+    return MultiTermQuery(boost=q.boost, field=f, terms=tuple(pairs))
+
+
+def spark_rewrite(index, q: Query) -> Query:
+    if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery)):
+        return spark_expand(index, q)
+    if isinstance(q, BooleanQuery):
+        clauses = [Clause(spark_rewrite(index, c.query), c.occur) for c in q.clauses]
+        if len(clauses) == 1 and clauses[0].occur != MUST_NOT:
+            inner = clauses[0].query
+            if q.boost != 1.0:
+                import dataclasses
+
+                inner = dataclasses.replace(inner, boost=inner.boost * q.boost)
+            return inner
+        if clauses and all(c.occur == MUST_NOT for c in clauses):
+            clauses.append(Clause(MatchAllQuery(), MUST))
+        return BooleanQuery(boost=q.boost, clauses=tuple(clauses))
+    return q
+
+
+# ---------------------------------------------------------------------------
+# BM25 expressions
+
+
+def _tf_part(tf_col, dl_col, avgdl: float):
+    """Mirrors oracle.bm25_tf: tf*(K1+1) / (tf + K1*(1 - B + B*dl/avgdl))."""
+    tf = tf_col.cast("double")
+    dl = dl_col.cast("double")
+    return (tf * F.lit(K1 + 1.0)) / (
+        tf + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * dl / F.lit(avgdl))
+    )
+
+
+class _Planner:
+    def __init__(self, index, q: Query):
+        self.index = index
+        self.q = spark_rewrite(index, q)
+        # one batched driver lookup for all (field, term) dfs
+        self.dfs = index.doc_freqs(query_terms(self.q))
+        self._uid = 0
+
+    def uid(self) -> str:
+        self._uid += 1
+        return f"s{self._uid}"
+
+    # -- leaf plans ----------------------------------------------------------
+    def _postings(self, field: str, terms: list[str]) -> DataFrame:
+        p = self.index.postings
+        cond = F.col("field") == field
+        if len(terms) == 1:
+            cond = cond & (F.col("term") == terms[0])
+        else:
+            cond = cond & F.col("term").isin(terms)
+        return p.where(cond)
+
+    def plan_term(self, q: TermQuery) -> DataFrame:
+        df_ = self.dfs.get((q.field, q.term), 0)
+        if df_ == 0:
+            return self._empty()
+        idf = bm25_idf(df_, self.index.n_docs)
+        avgdl = self.index.avgdl(q.field)
+        p = self._postings(q.field, [q.term])
+        score = (
+            F.lit(q.boost) * F.lit(idf) * _tf_part(F.col("tf"), F.col("doc_len"), avgdl)
+        )
+        return p.select("doc_id", score.alias("score"))
+
+    def plan_multi_term(self, q: MultiTermQuery) -> DataFrame:
+        live = [(t, b) for t, b in q.terms if self.dfs.get((q.field, t), 0) > 0]
+        if not live:
+            return self._empty()
+        avgdl = self.index.avgdl(q.field)
+        n = self.index.n_docs
+        spark = self.index.spark
+        tmeta = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (t, float(b), bm25_idf(self.dfs[(q.field, t)], n))
+                    for t, b in live
+                ],
+                "term string, tboost double, idf double",
+            )
+        )
+        p = self._postings(q.field, [t for t, _ in live]).join(tmeta, "term")
+        contrib = (
+            F.col("tboost") * F.col("idf")
+            * _tf_part(F.col("tf"), F.col("doc_len"), avgdl)
+        ).alias("contrib")
+        rows = p.select("doc_id", "term", contrib)
+
+        # sum contributions in sorted-term order (both sides do this) to keep
+        # float64 addition order deterministic
+        @F.pandas_udf("double")
+        def sum_sorted(arrs: pd.Series) -> pd.Series:
+            out = np.empty(len(arrs))
+            for i, arr in enumerate(arrs):
+                pairs = sorted(arr, key=lambda st: st["term"])
+                s = 0.0
+                for it in pairs:
+                    s += it["contrib"]
+                out[i] = s
+            return pd.Series(out)
+
+        agg = rows.groupBy("doc_id").agg(
+            F.collect_list(F.struct("term", "contrib")).alias("arr")
+        )
+        return agg.select(
+            "doc_id", (F.lit(q.boost) * sum_sorted(F.col("arr"))).alias("score")
+        )
+
+    def plan_match_all(self, q: MatchAllQuery) -> DataFrame:
+        return self.index.docs.select(
+            "doc_id", (F.lit(q.boost) * F.lit(1.0)).alias("score")
+        )
+
+    def plan_range(self, q: RangeQuery) -> DataFrame:
+        col = F.col(q.field)
+        if q.typed:
+            col = col.cast("double")
+            lo = float(q.lower) if q.lower is not None else None
+            hi = float(q.upper) if q.upper is not None else None
+        else:
+            col = col.cast("string")
+            lo = str(q.lower) if q.lower is not None else None
+            hi = str(q.upper) if q.upper is not None else None
+        cond = col.isNotNull()
+        if lo is not None:
+            cond = cond & (col >= lo if q.include_lower else col > lo)
+        if hi is not None:
+            cond = cond & (col <= hi if q.include_upper else col < hi)
+        return self.index.docs.where(cond).select(
+            "doc_id", (F.lit(q.boost) * F.lit(1.0)).alias("score")
+        )
+
+    # -- phrase ---------------------------------------------------------------
+    def plan_phrase(self, q: PhraseQuery) -> DataFrame:
+        if not q.positions:
+            return self._empty()
+        field = q.field
+        avgdl = self.index.avgdl(field)
+        n = self.index.n_docs
+        idf_sum = 0.0
+        for _, alts in q.positions:
+            for t in alts:
+                df_ = self.dfs.get((field, t), 0)
+                if df_ > 0:
+                    idf_sum += bm25_idf(df_, n)
+
+        # one slot-DF per constraint: (doc_id, positions, doc_len)
+        slot_dfs = []
+        for i, (off, alts) in enumerate(q.positions):
+            alts_live = [t for t in alts if self.dfs.get((field, t), 0) > 0]
+            if not alts_live:
+                return self._empty()
+            p = self._postings(field, alts_live)
+            if len(alts_live) == 1:
+                sdf = p.select(
+                    "doc_id",
+                    F.col("positions").alias(f"p{i}"),
+                    F.col("doc_len").alias(f"dl{i}"),
+                )
+            else:
+                sdf = p.groupBy("doc_id").agg(
+                    F.sort_array(F.flatten(F.collect_list("positions"))).alias(
+                        f"p{i}"
+                    ),
+                    F.first("doc_len").alias(f"dl{i}"),
+                )
+            slot_dfs.append(sdf)
+
+        joined = slot_dfs[0]
+        for sdf in slot_dfs[1:]:
+            joined = joined.join(sdf, "doc_id")
+
+        offsets = [off for off, _ in q.positions]
+        slop = q.slop
+        repeats = _phrase_has_repeats(q)
+
+        from ferret_spark.oracle import sloppy_phrase_freq
+
+        @F.pandas_udf("double")
+        def phrase_freq(*cols: pd.Series) -> pd.Series:
+            m = len(cols[0])
+            out = np.zeros(m)
+            for r in range(m):
+                adjusted = [
+                    [int(p) - offsets[i] for p in cols[i].iloc[r]]
+                    for i in range(len(offsets))
+                ]
+                if slop == 0:
+                    s = set(adjusted[0])
+                    for a in adjusted[1:]:
+                        s &= set(a)
+                    out[r] = float(len(s))
+                else:
+                    out[r] = sloppy_phrase_freq(adjusted, offsets, slop, repeats)
+            return pd.Series(out)
+
+        if len(q.positions) == 1:
+            freq = F.size(F.col("p0")).cast("double")
+        else:
+            freq = phrase_freq(*[F.col(f"p{i}") for i in range(len(q.positions))])
+        scored = (
+            joined.withColumn("freq", freq)
+            .where(F.col("freq") > 0.0)
+            .select(
+                "doc_id",
+                (
+                    F.lit(q.boost)
+                    * F.lit(idf_sum)
+                    * _tf_part(F.col("freq"), F.col("dl0"), avgdl)
+                ).alias("score"),
+            )
+        )
+        return scored
+
+    # -- boolean ---------------------------------------------------------------
+    def plan_boolean(self, q: BooleanQuery) -> DataFrame:
+        musts = [c.query for c in q.clauses if c.occur == MUST]
+        shoulds = [c.query for c in q.clauses if c.occur == SHOULD]
+        nots = [c.query for c in q.clauses if c.occur == MUST_NOT]
+
+        must_plans = [self.plan(m) for m in musts]
+        should_plans = [self.plan(s) for s in shoulds]
+
+        score_cols: list[str] = []
+
+        if must_plans:
+            base = None
+            for mp in must_plans:
+                cname = f"_m{self.uid()}"
+                mp = mp.withColumnRenamed("score", cname)
+                score_cols.append(cname)
+                base = mp if base is None else base.join(mp, "doc_id")
+            # SHOULD scores attach via left join
+            for sp in should_plans:
+                cname = f"_s{self.uid()}"
+                sp = sp.withColumnRenamed("score", cname)
+                score_cols.append(cname)
+                base = base.join(sp, "doc_id", "left")
+        else:
+            if not should_plans:
+                return self._empty()
+            renamed = []
+            for sp in should_plans:
+                cname = f"_s{self.uid()}"
+                renamed.append((cname, sp.withColumnRenamed("score", cname)))
+                score_cols.append(cname)
+            base = renamed[0][1]
+            for cname, sp in renamed[1:]:
+                base = base.join(sp, "doc_id", "full")
+
+        expr = None
+        for c in score_cols:
+            col = F.coalesce(F.col(c), F.lit(0.0))
+            expr = col if expr is None else expr + col
+        out = base.select("doc_id", (F.lit(q.boost) * expr).alias("score"))
+
+        if nots:
+            excl = None
+            for np_ in nots:
+                d = self.plan(np_).select("doc_id")
+                excl = d if excl is None else excl.unionByName(d)
+            out = out.join(excl.distinct(), "doc_id", "left_anti")
+        return out
+
+    # -- dispatch ---------------------------------------------------------------
+    def plan(self, q: Query) -> DataFrame:
+        if isinstance(q, TermQuery):
+            return self.plan_term(q)
+        if isinstance(q, MultiTermQuery):
+            return self.plan_multi_term(q)
+        if isinstance(q, BooleanQuery):
+            return self.plan_boolean(q)
+        if isinstance(q, PhraseQuery):
+            return self.plan_phrase(q)
+        if isinstance(q, MatchAllQuery):
+            return self.plan_match_all(q)
+        if isinstance(q, RangeQuery):
+            return self.plan_range(q)
+        raise TypeError(f"unsupported query {type(q).__name__}")
+
+    def _empty(self) -> DataFrame:
+        return self.index.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+
+
+def _phrase_has_repeats(q: PhraseQuery) -> bool:
+    seen: set[str] = set()
+    for _, alts in q.positions:
+        for t in alts:
+            if t in seen:
+                return True
+            seen.add(t)
+    return False
+
+
+def plan_scores(index, q: Query) -> DataFrame:
+    """(doc_id, score: double) for an already-rewritten query."""
+    pl = _Planner(index, q)
+    return pl.plan(pl.q)
+
+
+def plan_topk(index, q: Query, k: int = 10, offset: int = 0) -> DataFrame:
+    """Top-k with float32 rank semantics: cast to float BEFORE ordering
+    (rank parity requires float32, FrtHit c/include/search.h:75-79)."""
+    scores = plan_scores(index, q)
+    ranked = (
+        scores.select("doc_id", F.col("score").cast("float").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    if offset:
+        ranked = ranked.offset(offset)
+    return ranked.limit(k)

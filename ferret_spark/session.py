@@ -1,0 +1,70 @@
+"""SparkSession helper with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip(out_dir: str | None = None) -> str:
+    """Zip the ferret_spark package for shipping to executors — the
+    ``spark-submit --py-files`` artifact (north_rule deployment mode).
+    Also used by get_spark via addPyFile so UDF closures resolve their
+    module imports on executor Python workers in any deploy mode."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out_dir = out_dir or tempfile.mkdtemp(prefix="ferret_spark_pyfiles_")
+    zpath = os.path.join(out_dir, "ferret_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "ferret_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    return zpath
+
+
+def _builder_spark(
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "ferret_spark",
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("FERRET_SHUFFLE_PARTITIONS", str(min(int(cpus) * 2, 64)))
+    )
+    return (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE re-plans shuffles at runtime (skew joins, partition coalescing)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow everywhere: pandas UDFs and mapInArrow are the hot path
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("FERRET_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def get_spark(
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "ferret_spark",
+) -> SparkSession:
+    spark = _builder_spark(master, shuffle_partitions, app_name)
+    # ship the package to executor Python workers (UDF closures reference
+    # ferret_spark.* modules); same artifact spark-submit --py-files takes
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
