@@ -1,38 +1,425 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: ferret_spark — PySpark-native inverted index + BM25 search
+(see SURVEY.md §2). Queries run over the `documents` testdata table
+(doc_id, text, lang, source, n_chars) with whitespace+lowercase analysis;
+each has a DuckDB ANSI-SQL twin computing identical (rank, doc_id, score)
+with scores rounded to 4 decimals (both sides order by the rounded score,
+then doc_id, so ranks align bit-independently of float ULP noise).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_INDEX_CACHE: dict[tuple[int, str], object] = {}
+_PYFILES_SENT: set[int] = set()
+
+K = 10
+
+FIELD_CONFIG = {"text": "whitespace", "lang": "keyword", "source": "keyword"}
+
+
+def _get_index(spark: SparkSession, sf_dir: str):
+    from ferret_spark.index import SparkIndex
+    from ferret_spark.session import package_zip
+
+    key = (id(spark), sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    if id(spark) not in _PYFILES_SENT:
+        try:
+            spark.sparkContext.addPyFile(package_zip())
+        except Exception:
+            pass  # already added or not needed (cwd on path)
+        _PYFILES_SENT.add(id(spark))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = SparkIndex.build(spark, docs, FIELD_CONFIG, doc_id_col="doc_id")
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _topk(idx, q, k: int = K) -> DataFrame:
+    """(rank, doc_id, score) with 4-dp rounded scores — the driver-compare
+    shape. Ordering: rounded score desc, doc_id asc (mirrored in SQL)."""
+    from ferret_spark.search import plan_scores, spark_rewrite
+
+    scores = plan_scores(idx, spark_rewrite(idx, q))
+    rounded = scores.select(
+        "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+    top = rounded.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks (DuckDB)
+
+_PRELUDE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS term,
+         generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) - 1 AS pos
+  FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS doc_len
+  FROM documents d LEFT JOIN tok2 t USING (doc_id) GROUP BY d.doc_id
+),
+st AS (SELECT count(*)::DOUBLE AS n, avg(doc_len)::DOUBLE AS avgdl FROM dl),
+p AS (
+  SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok2 GROUP BY term, doc_id
+),
+tstat AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf FROM p GROUP BY term)
+"""
+
+# BM25 with K1=1.2, B=0.75, written with the same literal arithmetic shape
+# as the engine (oracle.bm25_idf / bm25_tf)
+_IDF = "ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5))"
+_TFP = "({tf} * (1.2 + 1.0)) / ({tf} + 1.2 * (1.0 - 0.75 + 0.75 * {dl} / {avgdl}))"
+
+
+def _term_scored_cte(term_expr: str) -> str:
+    """scored(doc_id, s): single-term BM25 over the prelude CTEs."""
+    idf = _IDF.format(n="st.n", df="ts.df::DOUBLE")
+    tfp = _TFP.format(tf="p.tf", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    return f"""
+scored AS (
+  SELECT p.doc_id, {idf} * {tfp} AS s
+  FROM p
+  JOIN tstat ts ON ts.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  WHERE p.term = {term_expr}
+)"""
+
+
+_RANKED = """
+SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, round(s, 4) AS score
+FROM scored
+ORDER BY rank LIMIT {k}
+"""
+
+
+def _sql_term(term: str, k: int = K) -> str:
+    return _PRELUDE + "," + _term_scored_cte(f"'{term}'") + _RANKED.format(k=k)
+
+
+def _sql_multi_term(where: str, k: int = K, boost_expr: str = "1.0") -> str:
+    """OR-over-terms (prefix/wildcard/fuzzy rewrite target): per (term, doc)
+    contribution boost*idf*tf_part, summed per doc."""
+    idf = _IDF.format(n="st.n", df="ts.df::DOUBLE")
+    tfp = _TFP.format(tf="p.tf", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    return (
+        _PRELUDE
+        + f""",
+contrib AS (
+  SELECT p.doc_id, ({boost_expr}) * {idf} * {tfp} AS c
+  FROM p
+  JOIN tstat ts ON ts.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  WHERE {where}
+),
+scored AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)
+"""
+        + _RANKED.format(k=k)
+    )
+
+
+def _sql_bool_and(t1: str, t2: str, k: int = K) -> str:
+    idf = _IDF.format(n="st.n", df="ts.df::DOUBLE")
+    tfp = _TFP.format(tf="p.tf", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    leaf = f"""
+  SELECT p.doc_id, {idf} * {tfp} AS s
+  FROM p JOIN tstat ts ON ts.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  WHERE p.term = '{{t}}'"""
+    return (
+        _PRELUDE
+        + f""",
+s1 AS ({leaf.format(t=t1)}),
+s2 AS ({leaf.format(t=t2)}),
+scored AS (
+  SELECT s1.doc_id, s1.s + s2.s AS s FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id
+)"""
+        + _RANKED.format(k=k)
+    )
+
+
+def _sql_bool_or(t1: str, t2: str, k: int = K) -> str:
+    idf = _IDF.format(n="st.n", df="ts.df::DOUBLE")
+    tfp = _TFP.format(tf="p.tf", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    leaf = f"""
+  SELECT p.doc_id, {idf} * {tfp} AS s
+  FROM p JOIN tstat ts ON ts.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  WHERE p.term = '{{t}}'"""
+    return (
+        _PRELUDE
+        + f""",
+s1 AS ({leaf.format(t=t1)}),
+s2 AS ({leaf.format(t=t2)}),
+scored AS (
+  SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+         coalesce(s1.s, 0.0) + coalesce(s2.s, 0.0) AS s
+  FROM s1 FULL JOIN s2 ON s1.doc_id = s2.doc_id
+)"""
+        + _RANKED.format(k=k)
+    )
+
+
+def _sql_bool_not(t1: str, t2: str, k: int = K) -> str:
+    idf = _IDF.format(n="st.n", df="ts.df::DOUBLE")
+    tfp = _TFP.format(tf="p.tf", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT p.doc_id, {idf} * {tfp} AS s
+  FROM p
+  JOIN tstat ts ON ts.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  WHERE p.term = '{t1}'
+    AND p.doc_id NOT IN (SELECT doc_id FROM p px WHERE px.term = '{t2}')
+)"""
+        + _RANKED.format(k=k)
+    )
+
+
+def _sql_phrase(t1: str, t2: str, k: int = K) -> str:
+    """Exact 2-term phrase: adjacency join; BM25 with phrase_freq and
+    idf_sum over the phrase terms."""
+    idf1 = _IDF.format(n="st.n", df="(SELECT df FROM tstat WHERE term='{t}')::DOUBLE")
+    tfp = _TFP.format(tf="ph.freq", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    return (
+        _PRELUDE
+        + f""",
+ph AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS freq
+  FROM tok2 a JOIN tok2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+  GROUP BY a.doc_id
+),
+idfs AS (
+  SELECT ({idf1.format(t=t1)}) + ({idf1.format(t=t2)}) AS idf_sum
+  FROM st
+),
+scored AS (
+  SELECT ph.doc_id, idfs.idf_sum * {tfp} AS s
+  FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN idfs
+)"""
+        + _RANKED.format(k=k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# query registry
+
+
+def _q_term(term: str):
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ferret_spark.query import TermQuery
+
+        return _topk(_get_index(spark, sf_dir), TermQuery(field="text", term=term))
+
+    return f
+
+
+def _q_bool(kind: str, t1: str, t2: str):
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ferret_spark.query import MUST, MUST_NOT, SHOULD, BooleanQuery, TermQuery
+
+        occ = {"and": (MUST, MUST), "or": (SHOULD, SHOULD), "not": (MUST, MUST_NOT)}[
+            kind
+        ]
+        q = BooleanQuery.of(
+            (TermQuery(field="text", term=t1), occ[0]),
+            (TermQuery(field="text", term=t2), occ[1]),
+        )
+        return _topk(_get_index(spark, sf_dir), q)
+
+    return f
+
+
+def _q_phrase(t1: str, t2: str):
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ferret_spark.query import PhraseQuery
+
+        q = PhraseQuery.of("text", [t1, t2])
+        return _topk(_get_index(spark, sf_dir), q)
+
+    return f
+
+
+def _q_prefix(prefix: str):
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ferret_spark.query import PrefixQuery
+
+        return _topk(
+            _get_index(spark, sf_dir), PrefixQuery(field="text", prefix=prefix)
+        )
+
+    return f
+
+
+def _q_wildcard(pattern: str):
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ferret_spark.query import WildcardQuery
+
+        return _topk(
+            _get_index(spark, sf_dir), WildcardQuery(field="text", pattern=pattern)
+        )
+
+    return f
+
+
+def _q_fuzzy(term: str, min_sim: float):
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ferret_spark.query import FuzzyQuery
+
+        return _topk(
+            _get_index(spark, sf_dir),
+            FuzzyQuery(field="text", term=term, min_sim=min_sim),
+        )
+
+    return f
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _get_index(spark, sf_dir)
+    return (
+        idx.term_stats.where(F.col("field") == "text")
+        .select("term", "df", "ttf")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _get_index(spark, sf_dir)
+    return idx.docs.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("doc_len_text"), 6).alias("avgdl"),
+        F.max("doc_len_text").alias("max_dl"),
+        F.min("doc_len_text").alias("min_dl"),
+    )
+
+
+def _q_range_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ferret_spark.query import RangeQuery
+
+    idx = _get_index(spark, sf_dir)
+    from ferret_spark.search import plan_scores, spark_rewrite
+
+    q = RangeQuery(field="n_chars", lower=100, upper=300, typed=True)
+    return (
+        plan_scores(idx, spark_rewrite(idx, q))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _q_keyword_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ferret_spark.query import TermQuery
+
+    idx = _get_index(spark, sf_dir)
+    from ferret_spark.search import plan_scores, spark_rewrite
+
+    q = TermQuery(field="lang", term="en")
+    return (
+        plan_scores(idx, spark_rewrite(idx, q))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _q_doc_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row content sha256 — the input_hint invariant surface."""
+    idx = _get_index(spark, sf_dir)
+    return idx.docs.select(
+        "doc_id", F.col("sha256_text").alias("sha")
+    ).orderBy("doc_id").limit(100)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 boolean+phrase search over sf0.001 documents."""
+    from ferret_spark.query import MUST, SHOULD, BooleanQuery, PhraseQuery, TermQuery
+
+    idx = _get_index(spark, "/root/testdata/sf0.001")
+    q = BooleanQuery.of(
+        (TermQuery(field="text", term="scan"), MUST),
+        (PhraseQuery.of("text", ["table", "hash"]), SHOULD),
+    )
+    return _topk(idx, q)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ft_term": _q_term("spark"),
+        "ft_term_hot": _q_term("batch"),
+        "ft_bool_and": _q_bool("and", "scan", "join"),
+        "ft_bool_or": _q_bool("or", "spark", "stream"),
+        "ft_bool_not": _q_bool("not", "scan", "join"),
+        "ft_phrase": _q_phrase("table", "hash"),
+        "ft_prefix": _q_prefix("sc"),
+        "ft_wildcard": _q_wildcard("s?an"),
+        "ft_fuzzy": _q_fuzzy("sprak", 0.5),
+        "ft_term_stats": _q_term_stats,
+        "ft_corpus_stats": _q_corpus_stats,
+        "ft_range_nchars": _q_range_nchars,
+        "ft_keyword_lang": _q_keyword_lang,
+        "ft_doc_sha256": _q_doc_sha,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ft_term": _sql_term("spark"),
+        "ft_term_hot": _sql_term("batch"),
+        "ft_bool_and": _sql_bool_and("scan", "join"),
+        "ft_bool_or": _sql_bool_or("spark", "stream"),
+        "ft_bool_not": _sql_bool_not("scan", "join"),
+        "ft_phrase": _sql_phrase("table", "hash"),
+        "ft_prefix": _sql_multi_term("p.term LIKE 'sc%'"),
+        "ft_wildcard": _sql_multi_term("p.term LIKE 's_an'"),
+        "ft_fuzzy": _sql_multi_term(
+            "(1.0 - levenshtein(p.term, 'sprak')::DOUBLE / "
+            "least(length(p.term), length('sprak'))::DOUBLE) > 0.5",
+            boost_expr=(
+                "1.0 - levenshtein(p.term, 'sprak')::DOUBLE / "
+                "least(length(p.term), length('sprak'))::DOUBLE"
+            ),
+        ),
+        "ft_term_stats": _PRELUDE
+        + """
+SELECT term, df, ttf FROM tstat ORDER BY df DESC, term ASC LIMIT 20
+""",
+        "ft_corpus_stats": _PRELUDE
+        + """
+SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6) AS avgdl,
+       max(doc_len)::INT AS max_dl, min(doc_len)::INT AS min_dl
+FROM dl
+""",
+        "ft_range_nchars": (
+            "SELECT doc_id FROM documents "
+            "WHERE n_chars IS NOT NULL AND n_chars >= 100 AND n_chars <= 300 "
+            "ORDER BY doc_id"
+        ),
+        "ft_keyword_lang": (
+            "SELECT doc_id FROM documents WHERE lang = 'en' ORDER BY doc_id"
+        ),
+        "ft_doc_sha256": (
+            "SELECT doc_id, sha256(text) AS sha FROM documents "
+            "ORDER BY doc_id LIMIT 100"
+        ),
+    }

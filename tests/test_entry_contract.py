@@ -1,0 +1,72 @@
+"""Rehearsal of the driver's correctness gate: run every queries() entry at
+sf0.01 AND its oracle_sql() twin in DuckDB over the same parquet, compare
+row count, column names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in sorted(cols):
+            v = r[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    qfn = entry.queries()[name]
+    sdf = qfn(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [r.asDict() for r in sdf.collect()]
+
+    sqls = entry.oracle_sql()
+    if name not in sqls:
+        assert len(srows) >= 0  # rows-only check
+        return
+    odf = ddb.sql(sqls[name]).df()
+    ocols = list(odf.columns)
+    assert sorted(scols) == sorted(ocols), f"schema mismatch: {scols} vs {ocols}"
+    orows = odf.to_dict("records")
+    assert len(srows) == len(orows), f"row count {len(srows)} vs {len(orows)}"
+    got = normalize(srows, scols)
+    want = normalize(orows, ocols)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"{name} row {i}: {g} != {w}"
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"rank", "doc_id", "score"}
