@@ -80,17 +80,23 @@ def vbyte_decode(buf: np.ndarray) -> np.ndarray:
 
 
 def encode_posting_list(
-    doc_ids: np.ndarray, tfs: np.ndarray, positions: list[np.ndarray] | None
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    positions: list[np.ndarray] | None,
+    doc_lens: np.ndarray | None = None,
 ) -> dict:
     """doc_ids sorted ascending; positions[i] = sorted int positions of doc i
-    (or None for position-less fields)."""
+    (or None for position-less fields); doc_lens = per-posting field length
+    (inlined so scoring needs no join — the norms-next-to-postings layout)."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
+    if doc_lens is not None:
+        doc_lens = np.asarray(doc_lens, dtype=np.int64)
     n = len(doc_ids)
     assert n > 0
-    doc_chunks, tf_chunks, pos_chunks = [], [], []
+    doc_chunks, tf_chunks, pos_chunks, dl_chunks = [], [], [], []
     block_meta = []
-    doc_off = tf_off = pos_off = 0
+    doc_off = tf_off = pos_off = dl_off = 0
     for b0 in range(0, n, BLOCK_SIZE):
         b1 = min(b0 + BLOCK_SIZE, n)
         ids = doc_ids[b0:b1]
@@ -111,41 +117,56 @@ def encode_posting_list(
             pbin = vbyte_encode(np.concatenate(pp) if pp else np.empty(0, np.uint64))
         else:
             pbin = np.empty(0, dtype=np.uint8)
+        if doc_lens is not None:
+            lbin = vbyte_encode(doc_lens[b0:b1].astype(np.uint64))
+            min_dl = int(doc_lens[b0:b1].min())
+        else:
+            lbin = np.empty(0, dtype=np.uint8)
+            min_dl = 0
         block_meta.append(
             {
                 "first": int(ids[0]),
                 "last": int(ids[-1]),
                 "count": int(b1 - b0),
                 "max_tf": int(tfs[b0:b1].max()),
+                "min_dl": min_dl,
                 "doc_off": doc_off,
                 "doc_len": len(dbin),
                 "tf_off": tf_off,
                 "tf_len": len(tbin),
                 "pos_off": pos_off,
                 "pos_len": len(pbin),
+                "dl_off": dl_off,
+                "dl_len": len(lbin),
             }
         )
         doc_chunks.append(dbin)
         tf_chunks.append(tbin)
         pos_chunks.append(pbin)
+        dl_chunks.append(lbin)
         doc_off += len(dbin)
         tf_off += len(tbin)
         pos_off += len(pbin)
+        dl_off += len(lbin)
     return {
         "doc_bin": np.concatenate(doc_chunks).tobytes(),
         "tf_bin": np.concatenate(tf_chunks).tobytes(),
         "pos_bin": np.concatenate(pos_chunks).tobytes(),
+        "dl_bin": np.concatenate(dl_chunks).tobytes(),
         "block_meta": block_meta,
         "df": n,
     }
 
 
 def decode_posting_list(row: dict, with_positions: bool = True):
-    """-> (doc_ids int64, tfs int64, positions list[np.ndarray] | None)."""
+    """-> (doc_ids int64, tfs int64, positions list[np.ndarray] | None,
+    doc_lens int64 | None)."""
     doc_arr = np.frombuffer(row["doc_bin"], dtype=np.uint8)
     tf_arr = np.frombuffer(row["tf_bin"], dtype=np.uint8)
     pos_arr = np.frombuffer(row["pos_bin"], dtype=np.uint8)
-    ids_out, tfs_out, pos_out = [], [], []
+    dl_arr = np.frombuffer(row.get("dl_bin", b""), dtype=np.uint8)
+    ids_out, tfs_out, pos_out, dl_out = [], [], [], []
+    has_dl = False
     for bm in row["block_meta"]:
         deltas = vbyte_decode(doc_arr[bm["doc_off"] : bm["doc_off"] + bm["doc_len"]])
         ids = np.cumsum(deltas.astype(np.int64)) + bm["first"]
@@ -154,6 +175,13 @@ def decode_posting_list(row: dict, with_positions: bool = True):
         )
         ids_out.append(ids)
         tfs_out.append(tfs)
+        if bm.get("dl_len"):
+            has_dl = True
+            dl_out.append(
+                vbyte_decode(
+                    dl_arr[bm["dl_off"] : bm["dl_off"] + bm["dl_len"]]
+                ).astype(np.int64)
+            )
         if with_positions and bm["pos_len"]:
             flat = vbyte_decode(
                 pos_arr[bm["pos_off"] : bm["pos_off"] + bm["pos_len"]]
@@ -164,7 +192,12 @@ def decode_posting_list(row: dict, with_positions: bool = True):
                 pos_out.append(np.cumsum(seg))
     doc_ids = np.concatenate(ids_out)
     tfs = np.concatenate(tfs_out)
-    return doc_ids, tfs, (pos_out if with_positions else None)
+    return (
+        doc_ids,
+        tfs,
+        (pos_out if with_positions else None),
+        (np.concatenate(dl_out) if has_dl else None),
+    )
 
 
 def concat_posting_rows(rows: list[dict]) -> dict:
@@ -173,8 +206,8 @@ def concat_posting_rows(rows: list[dict]) -> dict:
     hot path is O(bytes memcpy), sm_append_postings analog
     c/src/index.c:5922-5974)."""
     rows = sorted(rows, key=lambda r: r["block_meta"][0]["first"])
-    doc_parts, tf_parts, pos_parts, metas = [], [], [], []
-    d_off = t_off = p_off = 0
+    doc_parts, tf_parts, pos_parts, dl_parts, metas = [], [], [], [], []
+    d_off = t_off = p_off = l_off = 0
     df = 0
     last = -1
     for r in rows:
@@ -184,6 +217,7 @@ def concat_posting_rows(rows: list[dict]) -> dict:
         doc_parts.append(r["doc_bin"])
         tf_parts.append(r["tf_bin"])
         pos_parts.append(r["pos_bin"])
+        dl_parts.append(r.get("dl_bin", b""))
         for bm in r["block_meta"]:
             metas.append(
                 dict(
@@ -191,16 +225,19 @@ def concat_posting_rows(rows: list[dict]) -> dict:
                     doc_off=bm["doc_off"] + d_off,
                     tf_off=bm["tf_off"] + t_off,
                     pos_off=bm["pos_off"] + p_off,
+                    dl_off=bm.get("dl_off", 0) + l_off,
                 )
             )
         d_off += len(r["doc_bin"])
         t_off += len(r["tf_bin"])
         p_off += len(r["pos_bin"])
+        l_off += len(r.get("dl_bin", b""))
         df += r["df"]
     return {
         "doc_bin": b"".join(doc_parts),
         "tf_bin": b"".join(tf_parts),
         "pos_bin": b"".join(pos_parts),
+        "dl_bin": b"".join(dl_parts),
         "block_meta": metas,
         "df": df,
     }

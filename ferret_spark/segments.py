@@ -1,0 +1,452 @@
+"""Segmented compressed index: build + hierarchical merge + resume.
+
+The scale architecture (SURVEY §7):
+
+  corpus --assign doc_id--> docs --seg_id = doc_id // seg_size-->
+  B3  groupBy(seg).applyInPandas(invert+encode)  -> segments table
+      (seg_id, field, term, df, doc_bin, tf_bin, pos_bin, dl_bin, block_meta)
+  B4  two-stage salted merge:
+        stage 1: groupBy(field, term, salt)  salt = contiguous seg bucket
+                 -> partial concat rows (spreads a hot term's n_segments
+                    rows over `salt_buckets` reducers)
+        stage 2: groupBy(field, term) -> final rows (global index)
+      Both stages are pure byte concatenation (codec blocks are
+      self-contained) — reference sm_append_postings analog without
+      re-encoding (c/src/index.c:5922-5974).
+  B5  term_stats from segment rows; manifest rows per stage/partition.
+
+Layout on disk (<path>/):
+  docs/        parquet (doc_id, original cols, doc_len_*, sha256_*)
+  segments/    parquet partitioned by seg_id bucket — the SCORING layout:
+               a query ships its terms to every segment (doc-range shard),
+               scores locally with block-max pruning, then global top-k —
+               the MultiSearcher shape (c/src/search.c:1443-1840)
+  merged/      parquet range-partitioned by (field, term) — the global
+               index / term dictionary (term-dict ops, merge proof)
+  term_stats/  parquet
+  manifest/    parquet: (stage, part, rows, bytes, status, ts) — lineage +
+               metrics; resume skips stages whose manifest says 'done'
+  meta.json    stats + field_config + build params
+
+Segments are doc-range partitions, so merge = concat and doc ids never
+remap (the reference remaps via doc_map + base, c/src/index.c:6008-6065;
+our global doc_id makes that unnecessary).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ferret_spark import build as B
+from ferret_spark.analysis import get_analyzer
+from ferret_spark.codec import concat_posting_rows, encode_posting_list
+
+SEGMENT_SCHEMA = (
+    "seg_id int, field string, term string, df long, "
+    "doc_bin binary, tf_bin binary, pos_bin binary, dl_bin binary, "
+    "block_meta array<struct<first:long,last:long,count:int,max_tf:int,"
+    "min_dl:int,doc_off:long,doc_len:long,tf_off:long,tf_len:long,"
+    "pos_off:long,pos_len:long,dl_off:long,dl_len:long>>"
+)
+MERGED_SCHEMA = SEGMENT_SCHEMA.replace("seg_id int, ", "")
+
+_BM_KEYS = [
+    "first", "last", "count", "max_tf", "min_dl",
+    "doc_off", "doc_len", "tf_off", "tf_len",
+    "pos_off", "pos_len", "dl_off", "dl_len",
+]
+
+
+def _bm_tuples(block_meta: list[dict]) -> list[tuple]:
+    return [tuple(int(bm.get(k, 0)) for k in _BM_KEYS) for bm in block_meta]
+
+
+def _bm_dicts(block_meta) -> list[dict]:
+    out = []
+    for bm in block_meta:
+        if isinstance(bm, dict):
+            out.append(bm)
+        elif hasattr(bm, "asDict"):
+            out.append(bm.asDict())
+        else:  # tuple/list in _BM_KEYS order
+            out.append(dict(zip(_BM_KEYS, bm)))
+    return out
+
+
+def invert_partition(
+    pdf: pd.DataFrame, field_config: dict[str, str], seg_id: int
+) -> pd.DataFrame:
+    """One segment's docs -> encoded posting rows. Vectorized tokenize;
+    inversion via a flat (term, doc, pos) frame + groupby (dw_invert_field
+    analog, c/src/index.c:5565-5640)."""
+    out_rows = []
+    for field, aname in field_config.items():
+        doc_ids = pdf["doc_id"].to_numpy()
+        if aname == "keyword":
+            vals = pdf[field].astype(str)
+            terms_flat = vals.to_numpy()
+            docs_flat = doc_ids
+            pos_flat = np.zeros(len(doc_ids), dtype=np.int64)
+            dls = np.ones(len(doc_ids), dtype=np.int64)
+        else:
+            analyzer = get_analyzer(aname)
+            tok_lists = analyzer.tokens_pandas(pdf[field].astype(str))
+            terms, docs, poss, dls = [], [], [], np.zeros(len(pdf), np.int64)
+            for i, toks in enumerate(tok_lists):
+                n = 0
+                for p, t in enumerate(toks):
+                    if t is None or t == "":
+                        continue
+                    terms.append(t)
+                    docs.append(doc_ids[i])
+                    poss.append(p)
+                    n += 1
+                dls[i] = n
+            if not terms:
+                continue
+            terms_flat = np.array(terms, dtype=object)
+            docs_flat = np.array(docs, dtype=np.int64)
+            pos_flat = np.array(poss, dtype=np.int64)
+        dl_map = dict(zip(doc_ids.tolist(), dls.tolist()))
+        flat = pd.DataFrame(
+            {"term": terms_flat, "doc": docs_flat, "pos": pos_flat}
+        ).sort_values(["term", "doc", "pos"], kind="mergesort")
+        for term, grp in flat.groupby("term", sort=True):
+            d = grp["doc"].to_numpy()
+            # run-length: postings per doc
+            change = np.flatnonzero(np.diff(d)) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(d)]))
+            u_docs = d[starts]
+            tfs = (ends - starts).astype(np.int64)
+            pos_arr = grp["pos"].to_numpy()
+            positions = [pos_arr[s:e] for s, e in zip(starts, ends)]
+            u_dls = np.array([dl_map[int(x)] for x in u_docs], dtype=np.int64)
+            row = encode_posting_list(u_docs, tfs, positions, u_dls)
+            out_rows.append(
+                (
+                    seg_id,
+                    field,
+                    str(term),
+                    int(row["df"]),
+                    row["doc_bin"],
+                    row["tf_bin"],
+                    row["pos_bin"],
+                    row["dl_bin"],
+                    _bm_tuples(row["block_meta"]),
+                )
+            )
+    return pd.DataFrame(
+        out_rows,
+        columns=[
+            "seg_id", "field", "term", "df",
+            "doc_bin", "tf_bin", "pos_bin", "dl_bin", "block_meta",
+        ],
+    )
+
+
+def build_segments(
+    docs: DataFrame, field_config: dict[str, str], seg_size: int
+) -> DataFrame:
+    """docs (with doc_id) -> segment posting rows. seg_id = doc_id//seg_size
+    (doc-range segments -> merge is pure concat)."""
+    cols = ["doc_id"] + [f for f in field_config]
+    src = docs.select(*cols).withColumn(
+        "seg_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
+    )
+
+    fc = dict(field_config)
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return invert_partition(pdf, fc, int(key[0]))
+
+    return src.groupBy("seg_id").applyInPandas(fn, SEGMENT_SCHEMA)
+
+
+def _row_to_codec(r) -> dict:
+    return {
+        "doc_bin": bytes(r["doc_bin"]),
+        "tf_bin": bytes(r["tf_bin"]),
+        "pos_bin": bytes(r["pos_bin"]),
+        "dl_bin": bytes(r["dl_bin"]),
+        "block_meta": _bm_dicts(r["block_meta"]),
+        "df": int(r["df"]),
+    }
+
+
+def merge_segments(
+    segments: DataFrame, salt_buckets: int = 8, seg_per_bucket: int | None = None
+) -> DataFrame:
+    """Two-stage salted merge -> global (field, term) rows.
+
+    salt = seg_id // seg_per_bucket (contiguous doc ranges, so stage-2
+    concat stays monotonic). Hot terms (Zipf head appears in EVERY segment)
+    are spread across `salt_buckets` reducers in stage 1 instead of
+    funneling all their rows through one task.
+    """
+    if seg_per_bucket is None:
+        max_seg = segments.agg(F.max("seg_id")).collect()[0][0] or 0
+        seg_per_bucket = max(1, (max_seg + 1 + salt_buckets - 1) // salt_buckets)
+
+    salted = segments.withColumn(
+        "salt", (F.col("seg_id") / F.lit(seg_per_bucket)).cast("int")
+    )
+
+    def merge_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        field, term = key[0], key[1]
+        rows = [_row_to_codec(r) for _, r in pdf.iterrows()]
+        m = concat_posting_rows(rows)
+        return pd.DataFrame(
+            [
+                (
+                    field, term, int(m["df"]),
+                    m["doc_bin"], m["tf_bin"], m["pos_bin"], m["dl_bin"],
+                    _bm_tuples(m["block_meta"]),
+                )
+            ],
+            columns=[
+                "field", "term", "df",
+                "doc_bin", "tf_bin", "pos_bin", "dl_bin", "block_meta",
+            ],
+        )
+
+    def merge_fn_salted(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return merge_fn((key[0], key[1]), pdf)
+
+    # stage 1: partial merge within salt bucket
+    partial = salted.groupBy("field", "term", "salt").applyInPandas(
+        lambda key, pdf: merge_fn_salted(key, pdf), MERGED_SCHEMA
+    )
+    # stage 2: final merge across buckets
+    return partial.groupBy("field", "term").applyInPandas(merge_fn, MERGED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# manifest / staged build with resume
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "manifest")
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict[str, dict]:
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return {}
+    out = {}
+    for r in spark.read.parquet(mp).collect():
+        out[r["stage"]] = r.asDict()
+    return out
+
+
+def append_manifest(spark: SparkSession, path: str, stage: str, metrics: dict):
+    row = {
+        "stage": stage,
+        "rows": int(metrics.get("rows", -1)),
+        "bytes": int(metrics.get("bytes", -1)),
+        "partitions": int(metrics.get("partitions", -1)),
+        "status": "done",
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "elapsed_sec": float(metrics.get("elapsed_sec", -1.0)),
+    }
+    spark.createDataFrame(
+        [row],
+        "stage string, rows long, bytes long, partitions long, status string,"
+        " ts string, elapsed_sec double",
+    ).write.mode("append").parquet(_manifest_path(path))
+
+
+def _dir_bytes(p: str) -> int:
+    total = 0
+    for root, _d, files in os.walk(p):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+class SegmentIndexBuilder:
+    """Staged, resumable build. Each stage writes its parquet output then a
+    manifest row; a re-run (after a crash) skips stages already 'done' —
+    the segments_N commit-point protocol analog (c/src/index.c:1129-1167)."""
+
+    STAGES = ["docs", "segments", "merged", "term_stats", "meta"]
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        field_config: dict[str, str],
+        seg_size: int = 4096,
+        salt_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.path = path
+        self.field_config = field_config
+        self.seg_size = seg_size
+        self.salt_buckets = salt_buckets
+
+    def _done(self) -> dict:
+        return read_manifest(self.spark, self.path)
+
+    def _finish(self, stage: str, df_count: int | None, t0: float, out_dir: str):
+        append_manifest(
+            self.spark,
+            self.path,
+            stage,
+            {
+                "rows": df_count if df_count is not None else -1,
+                "bytes": _dir_bytes(out_dir),
+                "elapsed_sec": time.time() - t0,
+            },
+        )
+
+    def build(
+        self,
+        corpus: DataFrame | None,
+        id_cols=None,
+        doc_id_col: str | None = None,
+        stop_after: str | None = None,
+    ) -> "SegmentIndex | None":
+        """Run (or resume) the staged build. ``stop_after`` kills the build
+        after the named stage — used by resume tests to simulate a crash."""
+        spark, path = self.spark, self.path
+        os.makedirs(path, exist_ok=True)
+        done = self._done()
+
+        docs_dir = os.path.join(path, "docs")
+        if "docs" not in done:
+            t0 = time.time()
+            docs = B.build_docs(corpus, self.field_config, id_cols, doc_id_col)
+            keep = [c for c in docs.columns if not c.startswith("_toks_")]
+            docs.select(*keep).write.mode("overwrite").parquet(docs_dir)
+            n = spark.read.parquet(docs_dir).count()
+            self._finish("docs", n, t0, docs_dir)
+        if stop_after == "docs":
+            return None
+
+        seg_dir = os.path.join(path, "segments")
+        if "segments" not in self._done():
+            t0 = time.time()
+            docs = spark.read.parquet(docs_dir)
+            segs = build_segments(docs, self.field_config, self.seg_size)
+            # sorted-by-term within files -> parquet rowgroup stats prune
+            # query-term scans (the .tii tier analog)
+            (
+                segs.repartition(F.col("seg_id"))
+                .sortWithinPartitions("seg_id", "field", "term")
+                .write.mode("overwrite")
+                .parquet(seg_dir)
+            )
+            n = spark.read.parquet(seg_dir).count()
+            self._finish("segments", n, t0, seg_dir)
+        if stop_after == "segments":
+            return None
+
+        merged_dir = os.path.join(path, "merged")
+        if "merged" not in self._done():
+            t0 = time.time()
+            segs = spark.read.parquet(seg_dir)
+            merged = merge_segments(segs, self.salt_buckets)
+            (
+                merged.repartitionByRange(
+                    max(1, spark.sparkContext.defaultParallelism // 2),
+                    "field",
+                    "term",
+                )
+                .sortWithinPartitions("field", "term")
+                .write.mode("overwrite")
+                .parquet(merged_dir)
+            )
+            n = spark.read.parquet(merged_dir).count()
+            self._finish("merged", n, t0, merged_dir)
+        if stop_after == "merged":
+            return None
+
+        ts_dir = os.path.join(path, "term_stats")
+        if "term_stats" not in self._done():
+            t0 = time.time()
+            merged = spark.read.parquet(merged_dir)
+            ts = merged.select("field", "term", "df")
+            ts.write.mode("overwrite").parquet(ts_dir)
+            self._finish("term_stats", spark.read.parquet(ts_dir).count(), t0, ts_dir)
+        if stop_after == "term_stats":
+            return None
+
+        if "meta" not in self._done():
+            t0 = time.time()
+            docs = spark.read.parquet(docs_dir)
+            stats = B.build_corpus_stats(docs, self.field_config)
+            meta = {
+                "stats": stats,
+                "field_config": self.field_config,
+                "seg_size": self.seg_size,
+                "salt_buckets": self.salt_buckets,
+            }
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
+            self._finish("meta", 1, t0, path)
+        return SegmentIndex.load(spark, path)
+
+
+class SegmentIndex:
+    """Read side of the segmented index."""
+
+    def __init__(self, spark, path, docs, segments, merged, term_stats, meta):
+        self.spark = spark
+        self.path = path
+        self.docs = docs
+        self.segments = segments
+        self.merged = merged
+        self.term_stats = term_stats
+        self.stats = meta["stats"]
+        self.field_config = meta["field_config"]
+        self.seg_size = meta["seg_size"]
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SegmentIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            spark,
+            path,
+            spark.read.parquet(os.path.join(path, "docs")),
+            spark.read.parquet(os.path.join(path, "segments")),
+            spark.read.parquet(os.path.join(path, "merged")),
+            spark.read.parquet(os.path.join(path, "term_stats")),
+            meta,
+        )
+
+    @property
+    def n_docs(self) -> int:
+        return self.stats["n_docs"]
+
+    def avgdl(self, field: str) -> float:
+        return self.stats["avgdl"][field]
+
+    def doc_freqs(self, pairs):
+        if not pairs:
+            return {}
+        fields = sorted({f for f, _ in pairs})
+        terms = sorted({t for _, t in pairs})
+        rows = (
+            self.term_stats.where(
+                F.col("field").isin(fields) & F.col("term").isin(terms)
+            ).collect()
+        )
+        got = {(r["field"], r["term"]): r["df"] for r in rows}
+        return {p: got.get(p, 0) for p in pairs}
+
+    def search(self, q, k: int = 10, offset: int = 0, prune: bool = True):
+        from ferret_spark.wand import segment_search
+
+        return segment_search(self, q, k=k, offset=offset, prune=prune)

@@ -1,0 +1,545 @@
+"""Segment-parallel scoring with block-max pruning.
+
+Execution shape (the reference's own distributed blueprint — MultiSearcher
+with global df via CachedDFSearcher, c/src/search.c:1443-1840,1305-1441):
+
+1. driver: rewrite query against term_stats (global df/N/avgdl constants)
+2. ship the query's terms to the segments table (parquet term pushdown)
+3. groupBy(seg_id).applyInPandas: each segment (a doc-range shard) decodes
+   its posting rows and computes EXACT BM25 scores for its doc range,
+   block-max pruning where the query shape allows (skip lists analog,
+   c/src/index.c:2999-3065, upgraded to block-max WAND), emits local top-k
+4. global top-k: orderBy(float32 score desc, doc_id asc).limit(k)
+
+Score parity: every float64 operation mirrors the oracle
+(term contributions added in sorted-term order, clause sums in clause
+order, boost applied at the same node), so float32 ranks are identical.
+Pruning uses a strict (1 - 1e-6) margin below the current kth f32 score,
+which exceeds float32 rounding error, so pruning can never drop a doc that
+could enter the top-k or change a tie.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ferret_spark.codec import decode_posting_list
+from ferret_spark.oracle import K1, B, bm25_idf, sloppy_phrase_freq
+from ferret_spark.query import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    MatchAllQuery,
+    MultiTermQuery,
+    PhraseQuery,
+    Query,
+    RangeQuery,
+    TermQuery,
+)
+from ferret_spark.search import spark_rewrite
+
+
+@dataclass(frozen=True)
+class ConstantScoreTerms(Query):
+    """Docs having any of ``terms`` score boost*1.0 — the rewrite target of
+    RangeQuery on keyword fields (ConstantScoreQuery over a RangeFilter,
+    c/src/q_range.c:498-509)."""
+
+    field: str = "content"
+    terms: tuple[str, ...] = ()
+
+
+def _bm25_tf_np(tf, dl, avgdl: float):
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def wand_rewrite(index, q: Query) -> Query:
+    """spark_rewrite + RangeQuery -> ConstantScoreTerms via term-dict scan."""
+    q = spark_rewrite(index, q)
+    return _range_to_const(index, q)
+
+
+def _range_to_const(index, q: Query) -> Query:
+    if isinstance(q, RangeQuery):
+        ts = index.term_stats.where(F.col("field") == q.field)
+        if q.typed:
+            terms = [r["term"] for r in ts.select("term").collect()]
+            out = []
+            for t in terms:
+                try:
+                    x = float(t)
+                except ValueError:
+                    continue
+                lo = float(q.lower) if q.lower is not None else None
+                hi = float(q.upper) if q.upper is not None else None
+                if lo is not None and (x < lo or (x == lo and not q.include_lower)):
+                    continue
+                if hi is not None and (x > hi or (x == hi and not q.include_upper)):
+                    continue
+                out.append(t)
+        else:
+            cond = F.lit(True)
+            if q.lower is not None:
+                lo = str(q.lower)
+                cond = cond & (
+                    F.col("term") >= lo if q.include_lower else F.col("term") > lo
+                )
+            if q.upper is not None:
+                hi = str(q.upper)
+                cond = cond & (
+                    F.col("term") <= hi if q.include_upper else F.col("term") < hi
+                )
+            out = [r["term"] for r in ts.where(cond).select("term").collect()]
+        return ConstantScoreTerms(boost=q.boost, field=q.field, terms=tuple(sorted(out)))
+    if isinstance(q, BooleanQuery):
+        from ferret_spark.query import Clause
+
+        return BooleanQuery(
+            boost=q.boost,
+            clauses=tuple(
+                Clause(_range_to_const(index, c.query), c.occur) for c in q.clauses
+            ),
+        )
+    return q
+
+
+def _collect_terms(q: Query) -> list[tuple[str, str]]:
+    if isinstance(q, TermQuery):
+        return [(q.field, q.term)]
+    if isinstance(q, (MultiTermQuery, ConstantScoreTerms)):
+        return [(q.field, t) for t in (
+            [t for t, _ in q.terms] if isinstance(q, MultiTermQuery) else q.terms
+        )]
+    if isinstance(q, PhraseQuery):
+        return [(q.field, t) for _, alts in q.positions for t in alts]
+    if isinstance(q, BooleanQuery):
+        return [ft for c in q.clauses for ft in _collect_terms(c.query)]
+    return []
+
+
+def _query_needs_all_docs(q: Query) -> bool:
+    if isinstance(q, MatchAllQuery):
+        return True
+    if isinstance(q, BooleanQuery):
+        return any(_query_needs_all_docs(c.query) for c in q.clauses)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# per-segment evaluation
+
+
+class _SegEval:
+    """Evaluates a query tree over one segment's decoded posting rows.
+    Nodes return (mask bool[seg_n], score float64[seg_n])."""
+
+    def __init__(self, rows_by_ft, dfs, n_docs, avgdl_map, base, seg_n):
+        self.rows = rows_by_ft  # (field, term) -> codec row dict
+        self.dfs = dfs
+        self.n_docs = n_docs
+        self.avgdl = avgdl_map
+        self.base = base
+        self.seg_n = seg_n
+        self._decoded: dict[tuple, tuple] = {}
+
+    def decoded(self, field, term, with_positions=False):
+        key = (field, term, with_positions)
+        if key not in self._decoded:
+            row = self.rows.get((field, term))
+            if row is None:
+                self._decoded[key] = None
+            else:
+                ids, tfs, pos, dls = decode_posting_list(
+                    row, with_positions=with_positions
+                )
+                self._decoded[key] = (ids - self.base, tfs, pos, dls)
+        return self._decoded[key]
+
+    def _zero(self):
+        return np.zeros(self.seg_n, dtype=bool), np.zeros(self.seg_n, dtype=np.float64)
+
+    def eval(self, q: Query):
+        if isinstance(q, TermQuery):
+            return self._eval_term(q)
+        if isinstance(q, MultiTermQuery):
+            return self._eval_multi(q)
+        if isinstance(q, ConstantScoreTerms):
+            return self._eval_const(q)
+        if isinstance(q, BooleanQuery):
+            return self._eval_bool(q)
+        if isinstance(q, PhraseQuery):
+            return self._eval_phrase(q)
+        if isinstance(q, MatchAllQuery):
+            mask = np.zeros(self.seg_n, dtype=bool)
+            n_here = min(self.seg_n, max(0, self.n_docs - self.base))
+            mask[:n_here] = True
+            score = np.zeros(self.seg_n, dtype=np.float64)
+            score[mask] = q.boost * 1.0
+            return mask, score
+        raise TypeError(type(q).__name__)
+
+    def _eval_term(self, q: TermQuery):
+        mask, score = self._zero()
+        df = self.dfs.get((q.field, q.term), 0)
+        dec = self.decoded(q.field, q.term)
+        if df == 0 or dec is None:
+            return mask, score
+        local, tfs, _, dls = dec
+        idf = bm25_idf(df, self.n_docs)
+        contrib = q.boost * idf * _bm25_tf_np(tfs, dls, self.avgdl[q.field])
+        mask[local] = True
+        score[local] = contrib
+        return mask, score
+
+    def _eval_multi(self, q: MultiTermQuery):
+        mask, score = self._zero()
+        # sorted-term accumulation order (parity with oracle/planner)
+        for term, tboost in sorted(q.terms):
+            df = self.dfs.get((q.field, term), 0)
+            dec = self.decoded(q.field, term)
+            if df == 0 or dec is None:
+                continue
+            local, tfs, _, dls = dec
+            idf = bm25_idf(df, self.n_docs)
+            contrib = tboost * idf * _bm25_tf_np(tfs, dls, self.avgdl[q.field])
+            score[local] += contrib
+            mask[local] = True
+        score[mask] *= q.boost
+        score[~mask] = 0.0
+        return mask, score
+
+    def _eval_const(self, q: ConstantScoreTerms):
+        mask, score = self._zero()
+        for term in q.terms:
+            dec = self.decoded(q.field, term)
+            if dec is None:
+                continue
+            mask[dec[0]] = True
+        score[mask] = q.boost * 1.0
+        return mask, score
+
+    def _eval_bool(self, q: BooleanQuery):
+        musts = [c.query for c in q.clauses if c.occur == MUST]
+        shoulds = [c.query for c in q.clauses if c.occur == SHOULD]
+        nots = [c.query for c in q.clauses if c.occur == MUST_NOT]
+        total = np.zeros(self.seg_n, dtype=np.float64)
+        if musts:
+            mask = np.ones(self.seg_n, dtype=bool)
+            for m in musts:
+                mm, ms = self.eval(m)
+                mask &= mm
+                total += ms
+            for s in shoulds:
+                sm, ss = self.eval(s)
+                total += ss
+        else:
+            if not shoulds:
+                return self._zero()
+            mask = np.zeros(self.seg_n, dtype=bool)
+            for s in shoulds:
+                sm, ss = self.eval(s)
+                mask |= sm
+                total += ss
+        for n_ in nots:
+            nm, _ = self.eval(n_)
+            mask &= ~nm
+        out = np.zeros(self.seg_n, dtype=np.float64)
+        out[mask] = q.boost * total[mask]
+        return mask, out
+
+    def _eval_phrase(self, q: PhraseQuery):
+        mask, score = self._zero()
+        if not q.positions:
+            return mask, score
+        field = q.field
+        idf_sum = 0.0
+        slot_pos: list[dict[int, np.ndarray]] = []
+        slot_dls: dict[int, int] = {}
+        for off, alts in q.positions:
+            m: dict[int, list] = {}
+            any_alive = False
+            for t in alts:
+                df = self.dfs.get((field, t), 0)
+                if df > 0:
+                    idf_sum += bm25_idf(df, self.n_docs)
+                dec = self.decoded(field, t, with_positions=True)
+                if dec is None:
+                    continue
+                any_alive = True
+                local, tfs, pos, dls = dec
+                bounds = np.concatenate(([0], np.cumsum(tfs)))
+                for i, d in enumerate(local):
+                    plist = pos[i]
+                    if d in m:
+                        m[d].append(plist)
+                    else:
+                        m[d] = [plist]
+                    slot_dls[int(d)] = int(dls[i])
+            if not any_alive:
+                return self._zero()
+            slot_pos.append(
+                {
+                    d: (np.sort(np.concatenate(ls)) if len(ls) > 1 else ls[0])
+                    for d, ls in m.items()
+                }
+            )
+        cand = set(slot_pos[0].keys())
+        for m in slot_pos[1:]:
+            cand &= m.keys()
+        if not cand:
+            return mask, score
+        offsets = [off for off, _ in q.positions]
+        repeats = _phrase_repeats(q)
+        avgdl = self.avgdl[field]
+        if len(q.positions) == 1:
+            for d in cand:
+                freq = float(len(slot_pos[0][d]))
+                dl = slot_dls[int(d)]
+                s = (
+                    q.boost
+                    * idf_sum
+                    * (freq * (K1 + 1.0))
+                    / (freq + K1 * (1.0 - B + B * dl / avgdl))
+                )
+                mask[d] = True
+                score[d] = s
+            return mask, score
+        for d in sorted(cand):
+            adjusted = [
+                [int(p) - offsets[i] for p in slot_pos[i][d]]
+                for i in range(len(offsets))
+            ]
+            if q.slop == 0:
+                sset = set(adjusted[0])
+                for a in adjusted[1:]:
+                    sset &= set(a)
+                freq = float(len(sset))
+            else:
+                freq = sloppy_phrase_freq(adjusted, offsets, q.slop, repeats)
+            if freq > 0.0:
+                dl = slot_dls[int(d)]
+                s = (
+                    q.boost
+                    * idf_sum
+                    * (freq * (K1 + 1.0))
+                    / (freq + K1 * (1.0 - B + B * dl / avgdl))
+                )
+                mask[d] = True
+                score[d] = s
+        return mask, score
+
+
+def _phrase_repeats(q: PhraseQuery) -> bool:
+    seen = set()
+    for _, alts in q.positions:
+        for t in alts:
+            if t in seen:
+                return True
+            seen.add(t)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# block-max WAND for top-level disjunctions
+
+
+def _wand_multiterm_topk(ev: _SegEval, q: MultiTermQuery, k: int):
+    """Interval block-max WAND: build the piecewise upper-bound function
+    from block metadata, visit intervals in decreasing ub order, stop when
+    the bound can no longer beat the kth score."""
+    terms = []
+    for term, tboost in sorted(q.terms):
+        df = ev.dfs.get((q.field, term), 0)
+        row = ev.rows.get((q.field, term))
+        if df == 0 or row is None:
+            continue
+        idf = bm25_idf(df, ev.n_docs)
+        terms.append((term, tboost, idf, row))
+    if not terms:
+        return [], []
+    avgdl = ev.avgdl[q.field]
+    events: dict[int, float] = {}
+    for term, tboost, idf, row in terms:
+        for bm in row["block_meta"]:
+            mtf = float(bm["max_tf"])
+            mdl = float(max(bm.get("min_dl", 0), 0))
+            ub = (
+                tboost
+                * idf
+                * (mtf * (K1 + 1.0))
+                / (mtf + K1 * (1.0 - B + B * mdl / avgdl))
+            )
+            lo = int(bm["first"]) - ev.base
+            hi = int(bm["last"]) - ev.base + 1
+            events[lo] = events.get(lo, 0.0) + ub
+            events[hi] = events.get(hi, 0.0) - ub
+    bounds = sorted(events.keys())
+    intervals = []  # (ub_sum, lo, hi)
+    acc = 0.0
+    for i, b in enumerate(bounds):
+        acc += events[b]
+        if i + 1 < len(bounds) and acc > 0:
+            intervals.append((acc, b, bounds[i + 1]))
+    intervals.sort(key=lambda t: -t[0])
+
+    heap: list[tuple[np.float32, int]] = []  # (score_f32, -doc_id) min-heap
+    exact: dict[int, float] = {}  # doc -> exact float64 score
+    decoded = {}
+    for term, tboost, idf, row in terms:
+        local, tfs, _, dls = ev.decoded(q.field, term)
+        decoded[term] = (local, tboost * idf * _bm25_tf_np(tfs, dls, avgdl))
+
+    for ub_sum, lo, hi in intervals:
+        if len(heap) >= k:
+            theta = float(heap[0][0])
+            if q.boost * ub_sum < theta * (1.0 - 1e-6):
+                break
+        width = hi - lo
+        acc_s = np.zeros(width, dtype=np.float64)
+        seen = np.zeros(width, dtype=bool)
+        for term, _, _, _ in terms:
+            local, contrib = decoded[term]
+            sel = (local >= lo) & (local < hi)
+            if sel.any():
+                idxs = local[sel] - lo
+                acc_s[idxs] += contrib[sel]
+                seen[idxs] = True
+        docs_here = np.flatnonzero(seen)
+        if len(docs_here) == 0:
+            continue
+        # identical adds as _eval_multi (sorted-term order), so these ARE
+        # the exact unpruned float64 scores
+        scores_here = q.boost * acc_s[docs_here]
+        f32 = scores_here.astype(np.float32)
+        for i in range(len(docs_here)):
+            d = int(docs_here[i]) + lo
+            item = (f32[i], -d)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+                exact[d] = float(scores_here[i])
+            elif item > heap[0]:
+                _, nd_old = heapq.heapreplace(heap, item)
+                exact.pop(-nd_old, None)
+                exact[d] = float(scores_here[i])
+    out = sorted(((-nd, float(s)) for s, nd in heap), key=lambda t: (-t[1], t[0]))
+    docs = [d for d, _ in out]
+    return docs, [exact[d] for d in docs]
+
+
+# ---------------------------------------------------------------------------
+# the distributed search
+
+
+def segment_search(
+    index, q: Query, k: int | None = 10, offset: int = 0, prune: bool = True
+) -> DataFrame:
+    rq = wand_rewrite(index, q)
+    pairs = sorted(set(_collect_terms(rq)))
+    dfs = index.doc_freqs(pairs)
+    n_docs = index.n_docs
+    avgdl_map = dict(index.stats["avgdl"])
+    seg_size = index.seg_size
+    needs_all = _query_needs_all_docs(rq)
+
+    if not pairs and not needs_all:
+        return index.spark.createDataFrame([], "doc_id long, score float")
+
+    if pairs and not needs_all:
+        fields = sorted({f for f, _ in pairs})
+        terms = sorted({t for _, t in pairs})
+        seg_rows = index.segments.where(
+            F.col("field").isin(fields) & F.col("term").isin(terms)
+        )
+    else:
+        # MatchAll-bearing queries must visit every segment
+        seg_rows = index.segments
+        if pairs:
+            fields = sorted({f for f, _ in pairs})
+            terms = sorted({t for _, t in pairs})
+            seg_rows = seg_rows.where(
+                F.col("field").isin(fields) & F.col("term").isin(terms)
+            )
+        # union in one stub row per segment so empty segments still appear
+        all_segs = index.segments.select("seg_id").distinct()
+        stub = all_segs.select(
+            "seg_id",
+            F.lit("__stub__").alias("field"),
+            F.lit("").alias("term"),
+            F.lit(0).cast("long").alias("df"),
+            F.lit(b"").alias("doc_bin"),
+            F.lit(b"").alias("tf_bin"),
+            F.lit(b"").alias("pos_bin"),
+            F.lit(b"").alias("dl_bin"),
+            F.lit(None)
+            .cast(index.segments.schema["block_meta"].dataType)
+            .alias("block_meta"),
+        )
+        seg_rows = seg_rows.unionByName(stub)
+
+    local_k = None if k is None else offset + k
+    use_wand = (
+        prune
+        and local_k is not None
+        and isinstance(rq, (MultiTermQuery, TermQuery))
+    )
+    rq_for_exec = rq
+
+    def score_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        seg_id = int(key[0])
+        base = seg_id * seg_size
+        seg_n = seg_size
+        rows_by_ft = {}
+        for _, r in pdf.iterrows():
+            if r["field"] == "__stub__":
+                continue
+            rows_by_ft[(r["field"], r["term"])] = {
+                "doc_bin": bytes(r["doc_bin"]),
+                "tf_bin": bytes(r["tf_bin"]),
+                "pos_bin": bytes(r["pos_bin"]),
+                "dl_bin": bytes(r["dl_bin"]),
+                "block_meta": [
+                    bm if isinstance(bm, dict) else bm.asDict()
+                    for bm in r["block_meta"]
+                ],
+                "df": int(r["df"]),
+            }
+        ev = _SegEval(rows_by_ft, dfs, n_docs, avgdl_map, base, seg_n)
+        if use_wand and isinstance(rq_for_exec, MultiTermQuery):
+            docs, scores = _wand_multiterm_topk(ev, rq_for_exec, local_k)
+            return pd.DataFrame(
+                {"doc_id": [d + base for d in docs], "score": scores}
+            )
+        mask, score = ev.eval(rq_for_exec)
+        locs = np.flatnonzero(mask)
+        if local_k is not None and len(locs) > local_k:
+            s = score[locs]
+            f32 = s.astype(np.float32)
+            order = np.lexsort((locs, -f32))[:local_k]
+            locs = locs[order]
+        return pd.DataFrame(
+            {
+                "doc_id": (locs + base).astype(np.int64),
+                "score": score[locs] if len(locs) else np.empty(0),
+            }
+        )
+
+    scored = seg_rows.groupBy("seg_id").applyInPandas(
+        score_segment, "doc_id long, score double"
+    )
+    ranked = scored.select(
+        "doc_id", F.col("score").cast("float").alias("score")
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    if offset:
+        ranked = ranked.offset(offset)
+    if k is not None:
+        ranked = ranked.limit(k)
+    return ranked

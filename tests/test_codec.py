@@ -48,7 +48,7 @@ def test_posting_roundtrip(n):
     ]
     row = encode_posting_list(doc_ids, tfs, positions)
     assert len(row["block_meta"]) == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    d, t, p = decode_posting_list(row)
+    d, t, p, _ = decode_posting_list(row)
     assert np.array_equal(d, doc_ids)
     assert np.array_equal(t, tfs)
     for a, b in zip(p, positions):
@@ -87,7 +87,7 @@ def test_concat_rows_equals_single_encode():
     ]
     merged = concat_posting_rows(rows)
     assert merged["df"] == n
-    d, t, p = decode_posting_list(merged)
+    d, t, p, _ = decode_posting_list(merged)
     assert np.array_equal(d, doc_ids)
     assert np.array_equal(t, tfs)
     for a, b in zip(p, positions):
