@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Headline benchmark (BASELINE.md protocol). Prints ONE JSON line.
+
+Measures:
+1. index-build throughput (docs/sec) over the deterministic synthetic
+   source-code corpus (FIXTURES.md §1/§6) through the full segmented
+   pipeline (doc ids -> tokenize/invert -> compressed segments -> salted
+   merge -> stats), at TWO parallelism levels:
+     N  = local[cpus/4]  and  4N = local[cpus]
+   scaling efficiency = throughput(4N) / (4 * throughput(N))  (target >=0.8)
+2. BM25 top-10 query latency (p50/p95 ms per class: term/boolean/phrase)
+   over the built index, warm.
+3. driver-contract query wall times over $SPARK_GRAFT_SF_DIR documents.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     FERRET_BENCH_DOCS (default 20000), FERRET_BENCH_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("FERRET_BENCH_DOCS", "20000"))
+SKIP_SCALING = os.environ.get("FERRET_BENCH_SKIP_SCALING", "") == "1"
+FIELD_CONFIG = {"content": "standard_nostop", "lang": "keyword"}
+
+
+def _new_spark(cores: int):
+    from ferret_spark.session import get_spark
+
+    return get_spark(
+        master=f"local[{cores}]",
+        shuffle_partitions=max(8, cores * 2),
+        app_name=f"ferret-bench-{cores}",
+    )
+
+
+def build_run(cores: int, out_dir: str) -> dict:
+    from pyspark.sql import SparkSession
+
+    from ferret_spark.fixtures import synth_corpus_df
+    from ferret_spark.segments import SegmentIndexBuilder, read_manifest
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = _new_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    # generation is NOT part of the measured build: materialize first
+    corpus = synth_corpus_df(spark, N_DOCS, num_partitions=64)
+    corpus = corpus.persist()
+    n = corpus.count()
+    seg_size = max(1024, N_DOCS // (cores * 4))
+    t0 = time.time()
+    builder = SegmentIndexBuilder(
+        spark, out_dir, FIELD_CONFIG, seg_size=seg_size, salt_buckets=max(4, cores)
+    )
+    idx = builder.build(corpus, id_cols=("repo", "path", "commit"))
+    wall = time.time() - t0
+    manifest = read_manifest(spark, out_dir)
+    corpus.unpersist()
+    return {
+        "cores": cores,
+        "docs": n,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n / wall, 2),
+        "stages": {
+            s: round(m["elapsed_sec"], 3) for s, m in manifest.items()
+        },
+        "index_bytes": {
+            s: m["bytes"] for s, m in manifest.items() if m["bytes"] > 0
+        },
+        "_spark": spark,
+        "_idx": idx,
+    }
+
+
+def query_latency(idx, reps: int = 7) -> dict:
+    idx.cache()
+    import ferret_spark as fs
+
+    queries = {
+        "term_hot": fs.TermQuery(field="content", term="def"),
+        "term_mid": fs.TermQuery(field="content", term="spawn"),
+        "bool_and": fs.BooleanQuery.of(
+            (fs.TermQuery(field="content", term="def"), fs.MUST),
+            (fs.TermQuery(field="content", term="return"), fs.MUST),
+        ),
+        "bool_or": fs.BooleanQuery.of(
+            (fs.TermQuery(field="content", term="class"), fs.SHOULD),
+            (fs.TermQuery(field="content", term="import"), fs.SHOULD),
+            (fs.TermQuery(field="content", term="match"), fs.SHOULD),
+        ),
+        "prefix_or": fs.PrefixQuery(field="content", prefix="var_1"),
+        "phrase": fs.PhraseQuery.of("content", ["def", "return"], slop=3),
+    }
+    out = {}
+    for name, q in queries.items():
+        times = []
+        for r in range(reps):
+            t0 = time.time()
+            rows = idx.search(q, k=10).collect()
+            times.append((time.time() - t0) * 1000)
+        times_warm = times[1:]  # drop cold
+        out[name] = {
+            "p50_ms": round(statistics.median(times_warm), 1),
+            "p95_ms": round(max(times_warm), 1),
+            "hits_topk": len(rows),
+        }
+    return out
+
+
+def contract_queries(spark) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+
+    out = {}
+    qs = entry.queries()
+    for name in sorted(qs):
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    tmp = tempfile.mkdtemp(prefix="ferret_bench_")
+    result: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1], "n_docs": N_DOCS}
+
+    n_small = max(2, CPUS // 4)
+    runs = {}
+    if not SKIP_SCALING:
+        small_dir = os.path.join(tmp, f"idx_{n_small}")
+        r_small = build_run(n_small, small_dir)
+        runs["N"] = r_small
+        shutil.rmtree(small_dir, ignore_errors=True)
+
+    big_dir = os.path.join(tmp, f"idx_{CPUS}")
+    r_big = build_run(CPUS, big_dir)
+    runs["4N"] = r_big
+
+    scaling = {}
+    if "N" in runs:
+        thr_n, thr_4n = runs["N"]["docs_per_sec"], runs["4N"]["docs_per_sec"]
+        ratio = CPUS / n_small
+        scaling = {
+            "cores_n": n_small,
+            "cores_4n": CPUS,
+            "docs_per_sec_n": thr_n,
+            "docs_per_sec_4n": thr_4n,
+            "efficiency": round(thr_4n / (ratio * thr_n), 3),
+        }
+
+    lat = query_latency(r_big["_idx"])
+    contract = contract_queries(r_big["_spark"])
+
+    result.update(
+        {
+            "metric": "index-build docs/sec (segmented+compressed, 4N cores)",
+            "value": r_big["docs_per_sec"],
+            "unit": "docs/sec",
+            "build": {
+                k: {kk: vv for kk, vv in v.items() if not kk.startswith("_")}
+                for k, v in runs.items()
+            },
+            "scaling": scaling,
+            "query_latency_ms": lat,
+            "queries": contract,
+        }
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

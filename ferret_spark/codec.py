@@ -34,17 +34,24 @@ BLOCK_SIZE = 128
 # vectorized vbyte
 
 
+def vbyte_lengths(vals: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized)."""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    nbytes = np.ones(len(vals), dtype=np.int64)
+    v = vals >> np.uint64(7)
+    while v.any():
+        nbytes += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    return nbytes
+
+
 def vbyte_encode(vals: np.ndarray) -> np.ndarray:
     """uint64 array -> uint8 vbyte stream (LSB-first, 0x80 = more)."""
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
     n = len(vals)
     if n == 0:
         return np.empty(0, dtype=np.uint8)
-    nbytes = np.ones(n, dtype=np.int64)
-    v = vals >> np.uint64(7)
-    while v.any():
-        nbytes += (v > 0).astype(np.int64)
-        v >>= np.uint64(7)
+    nbytes = vbyte_lengths(vals)
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     starts = ends - nbytes
@@ -79,83 +86,119 @@ def vbyte_decode(buf: np.ndarray) -> np.ndarray:
 # posting-list rows
 
 
-def encode_posting_list(
+def encode_posting_list_flat(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
-    positions: list[np.ndarray] | None,
+    pos_flat: np.ndarray | None,
     doc_lens: np.ndarray | None = None,
 ) -> dict:
-    """doc_ids sorted ascending; positions[i] = sorted int positions of doc i
-    (or None for position-less fields); doc_lens = per-posting field length
-    (inlined so scoring needs no join — the norms-next-to-postings layout)."""
+    """Fully vectorized encoder. ``pos_flat`` is the concatenation of each
+    doc's sorted positions (doc i owns pos_flat[bounds[i]:bounds[i+1]] with
+    bounds = cumsum(tfs)). No per-doc Python in the hot path: the whole
+    position stream is delta'd and vbyte'd in one shot; per-block byte
+    offsets come from the per-value encoded lengths."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     if doc_lens is not None:
         doc_lens = np.asarray(doc_lens, dtype=np.int64)
     n = len(doc_ids)
     assert n > 0
-    doc_chunks, tf_chunks, pos_chunks, dl_chunks = [], [], [], []
+
+    # --- position stream: delta within doc, absolute at each doc start
+    if pos_flat is not None:
+        pos_flat = np.asarray(pos_flat, dtype=np.int64)
+        bounds = np.concatenate(([0], np.cumsum(tfs)))
+        deltas = pos_flat.copy()
+        deltas[1:] -= pos_flat[:-1]
+        starts = bounds[:-1]
+        deltas[starts] = pos_flat[starts]
+        pos_stream = deltas.astype(np.uint64)
+        pos_byte_bounds = np.concatenate(
+            ([0], np.cumsum(vbyte_lengths(pos_stream)))
+        )
+        pos_bin_all = vbyte_encode(pos_stream)
+    else:
+        bounds = None
+        pos_bin_all = np.empty(0, dtype=np.uint8)
+
+    # --- doc id deltas: absolute->delta except block firsts (0)
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_starts = np.arange(n_blocks) * BLOCK_SIZE
+    dd = np.empty(n, dtype=np.int64)
+    dd[0] = 0
+    dd[1:] = np.diff(doc_ids)
+    dd[block_starts] = 0  # first of each block is carried by block_meta.first
+    doc_byte_bounds = np.concatenate(
+        ([0], np.cumsum(vbyte_lengths(dd.astype(np.uint64))))
+    )
+    doc_bin_all = vbyte_encode(dd.astype(np.uint64))
+
+    tf_byte_bounds = np.concatenate(
+        ([0], np.cumsum(vbyte_lengths(tfs.astype(np.uint64))))
+    )
+    tf_bin_all = vbyte_encode(tfs.astype(np.uint64))
+
+    if doc_lens is not None:
+        dl_byte_bounds = np.concatenate(
+            ([0], np.cumsum(vbyte_lengths(doc_lens.astype(np.uint64))))
+        )
+        dl_bin_all = vbyte_encode(doc_lens.astype(np.uint64))
+    else:
+        dl_bin_all = np.empty(0, dtype=np.uint8)
+
     block_meta = []
-    doc_off = tf_off = pos_off = dl_off = 0
-    for b0 in range(0, n, BLOCK_SIZE):
+    for bi in range(n_blocks):
+        b0 = bi * BLOCK_SIZE
         b1 = min(b0 + BLOCK_SIZE, n)
-        ids = doc_ids[b0:b1]
-        deltas = np.empty(b1 - b0, dtype=np.uint64)
-        deltas[0] = 0  # first doc == block_meta.first
-        deltas[1:] = np.diff(ids).astype(np.uint64)
-        dbin = vbyte_encode(deltas)
-        tbin = vbyte_encode(tfs[b0:b1].astype(np.uint64))
-        if positions is not None:
-            pp = []
-            for i in range(b0, b1):
-                ps = np.asarray(positions[i], dtype=np.int64)
-                pd = np.empty(len(ps), dtype=np.uint64)
-                if len(ps):
-                    pd[0] = ps[0]
-                    pd[1:] = np.diff(ps).astype(np.uint64)
-                pp.append(pd)
-            pbin = vbyte_encode(np.concatenate(pp) if pp else np.empty(0, np.uint64))
+        if pos_flat is not None:
+            p_off = int(pos_byte_bounds[bounds[b0]])
+            p_len = int(pos_byte_bounds[bounds[b1]]) - p_off
         else:
-            pbin = np.empty(0, dtype=np.uint8)
-        if doc_lens is not None:
-            lbin = vbyte_encode(doc_lens[b0:b1].astype(np.uint64))
-            min_dl = int(doc_lens[b0:b1].min())
-        else:
-            lbin = np.empty(0, dtype=np.uint8)
-            min_dl = 0
+            p_off = p_len = 0
         block_meta.append(
             {
-                "first": int(ids[0]),
-                "last": int(ids[-1]),
+                "first": int(doc_ids[b0]),
+                "last": int(doc_ids[b1 - 1]),
                 "count": int(b1 - b0),
                 "max_tf": int(tfs[b0:b1].max()),
-                "min_dl": min_dl,
-                "doc_off": doc_off,
-                "doc_len": len(dbin),
-                "tf_off": tf_off,
-                "tf_len": len(tbin),
-                "pos_off": pos_off,
-                "pos_len": len(pbin),
-                "dl_off": dl_off,
-                "dl_len": len(lbin),
+                "min_dl": int(doc_lens[b0:b1].min()) if doc_lens is not None else 0,
+                "doc_off": int(doc_byte_bounds[b0]),
+                "doc_len": int(doc_byte_bounds[b1] - doc_byte_bounds[b0]),
+                "tf_off": int(tf_byte_bounds[b0]),
+                "tf_len": int(tf_byte_bounds[b1] - tf_byte_bounds[b0]),
+                "pos_off": p_off,
+                "pos_len": p_len,
+                "dl_off": int(dl_byte_bounds[b0]) if doc_lens is not None else 0,
+                "dl_len": (
+                    int(dl_byte_bounds[b1] - dl_byte_bounds[b0])
+                    if doc_lens is not None
+                    else 0
+                ),
             }
         )
-        doc_chunks.append(dbin)
-        tf_chunks.append(tbin)
-        pos_chunks.append(pbin)
-        dl_chunks.append(lbin)
-        doc_off += len(dbin)
-        tf_off += len(tbin)
-        pos_off += len(pbin)
-        dl_off += len(lbin)
     return {
-        "doc_bin": np.concatenate(doc_chunks).tobytes(),
-        "tf_bin": np.concatenate(tf_chunks).tobytes(),
-        "pos_bin": np.concatenate(pos_chunks).tobytes(),
-        "dl_bin": np.concatenate(dl_chunks).tobytes(),
+        "doc_bin": doc_bin_all.tobytes(),
+        "tf_bin": tf_bin_all.tobytes(),
+        "pos_bin": pos_bin_all.tobytes(),
+        "dl_bin": dl_bin_all.tobytes(),
         "block_meta": block_meta,
         "df": n,
     }
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    positions: list[np.ndarray] | None,
+    doc_lens: np.ndarray | None = None,
+) -> dict:
+    """List-of-arrays convenience wrapper over encode_posting_list_flat."""
+    pos_flat = (
+        np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
+        if positions is not None and len(positions)
+        else (np.empty(0, dtype=np.int64) if positions is not None else None)
+    )
+    return encode_posting_list_flat(doc_ids, tfs, pos_flat, doc_lens)
 
 
 def decode_posting_list(row: dict, with_positions: bool = True):

@@ -117,17 +117,19 @@ def build_vocab(size: int = 10000) -> list[str]:
 
 
 _VOCAB = None
-_ZIPF_P = None
+_ZIPF_CDF = None
 
 
 def _vocab_and_probs(vocab_size: int = 10000, s: float = 1.1):
-    global _VOCAB, _ZIPF_P
+    """Vocab + Zipf cumulative distribution (sampling via inverse-CDF
+    searchsorted — O(log V) per token instead of rng.choice's O(V))."""
+    global _VOCAB, _ZIPF_CDF
     if _VOCAB is None or len(_VOCAB) != vocab_size:
         _VOCAB = np.array(build_vocab(vocab_size), dtype=object)
         ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
         p = 1.0 / np.power(ranks, s)
-        _ZIPF_P = p / p.sum()
-    return _VOCAB, _ZIPF_P
+        _ZIPF_CDF = np.cumsum(p / p.sum())
+    return _VOCAB, _ZIPF_CDF
 
 
 def synth_rows(
@@ -144,7 +146,7 @@ def synth_rows(
     partitioning of the id range yields identical rows (required for the
     N-vs-4N scaling run to index the exact same input).
     """
-    vocab, p = _vocab_and_probs(vocab_size)
+    vocab, cdf = _vocab_and_probs(vocab_size)
     n = end - start
     repos = np.array([f"org{i % 7}/repo{i % 23}" for i in range(start, end)])
     langs = np.array([LANGS[i % len(LANGS)] for i in range(start, end)])
@@ -154,7 +156,8 @@ def synth_rows(
     for j, i in enumerate(range(start, end)):
         rng = np.random.Generator(np.random.Philox(key=SEED, counter=i))
         ln = int(min(max(1, round(rng.lognormal(mu, sigma))), max_tokens))
-        idx = rng.choice(vocab_size, size=ln, p=p)
+        idx = np.searchsorted(cdf, rng.random(ln))
+        idx = np.minimum(idx, vocab_size - 1)
         toks = vocab[idx]
         # sprinkle newlines/punctuation deterministically
         parts = []

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ferret_spark import build as B
 from ferret_spark.analysis import get_analyzer
-from ferret_spark.codec import concat_posting_rows, encode_posting_list
+from ferret_spark.codec import concat_posting_rows, encode_posting_list_flat
 
 SEGMENT_SCHEMA = (
     "seg_id int, field string, term string, df long, "
@@ -83,58 +83,99 @@ def _bm_dicts(block_meta) -> list[dict]:
 def invert_partition(
     pdf: pd.DataFrame, field_config: dict[str, str], seg_id: int
 ) -> pd.DataFrame:
-    """One segment's docs -> encoded posting rows. Vectorized tokenize;
-    inversion via a flat (term, doc, pos) frame + groupby (dw_invert_field
-    analog, c/src/index.c:5565-5640)."""
+    """One segment's docs -> encoded posting rows (dw_invert_field analog,
+    c/src/index.c:5565-5640). Fully vectorized: tokenize via the pandas
+    analyzer surface, flatten to (term_code, doc, pos) numpy arrays, one
+    lexsort, run-length boundaries, flat codec encode — no per-token
+    Python."""
     out_rows = []
     for field, aname in field_config.items():
         doc_ids = pdf["doc_id"].to_numpy()
+        n_rows = len(doc_ids)
         if aname == "keyword":
-            vals = pdf[field].astype(str)
-            terms_flat = vals.to_numpy()
-            docs_flat = doc_ids
-            pos_flat = np.zeros(len(doc_ids), dtype=np.int64)
-            dls = np.ones(len(doc_ids), dtype=np.int64)
+            terms_flat = pd.Series(pdf[field].astype(str).to_numpy(), dtype=object)
+            docs_flat = doc_ids.astype(np.int64)
+            pos_flat = np.zeros(n_rows, dtype=np.int64)
+            dls_per_doc = np.ones(n_rows, dtype=np.int64)
+            valid = terms_flat.notna().to_numpy() & (terms_flat != "").to_numpy()
+            terms_v = terms_flat.to_numpy()[valid]
+            docs_v = docs_flat[valid]
+            pos_v = pos_flat[valid]
+            dl_flat_v = dls_per_doc[valid]
         else:
             analyzer = get_analyzer(aname)
             tok_lists = analyzer.tokens_pandas(pdf[field].astype(str))
-            terms, docs, poss, dls = [], [], [], np.zeros(len(pdf), np.int64)
-            for i, toks in enumerate(tok_lists):
-                n = 0
-                for p, t in enumerate(toks):
-                    if t is None or t == "":
-                        continue
-                    terms.append(t)
-                    docs.append(doc_ids[i])
-                    poss.append(p)
-                    n += 1
-                dls[i] = n
-            if not terms:
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=n_rows
+            )
+            total = int(lens.sum())
+            if total == 0:
                 continue
-            terms_flat = np.array(terms, dtype=object)
-            docs_flat = np.array(docs, dtype=np.int64)
-            pos_flat = np.array(poss, dtype=np.int64)
-        dl_map = dict(zip(doc_ids.tolist(), dls.tolist()))
-        flat = pd.DataFrame(
-            {"term": terms_flat, "doc": docs_flat, "pos": pos_flat}
-        ).sort_values(["term", "doc", "pos"], kind="mergesort")
-        for term, grp in flat.groupby("term", sort=True):
-            d = grp["doc"].to_numpy()
-            # run-length: postings per doc
-            change = np.flatnonzero(np.diff(d)) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(d)]))
-            u_docs = d[starts]
-            tfs = (ends - starts).astype(np.int64)
-            pos_arr = grp["pos"].to_numpy()
-            positions = [pos_arr[s:e] for s, e in zip(starts, ends)]
-            u_dls = np.array([dl_map[int(x)] for x in u_docs], dtype=np.int64)
-            row = encode_posting_list(u_docs, tfs, positions, u_dls)
+            row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos_flat = np.arange(total, dtype=np.int64) - np.repeat(
+                row_starts, lens
+            )
+            row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            docs_flat = doc_ids[row_idx].astype(np.int64)
+            terms_flat = pd.Series(
+                np.concatenate(
+                    [np.asarray(t, dtype=object) for t in tok_lists if len(t)]
+                )
+                if total
+                else [],
+                dtype=object,
+            )
+            valid = terms_flat.notna().to_numpy() & (terms_flat != "").to_numpy()
+            # per-doc token count after stop-removal = BM25 doc_len
+            dls_per_doc = np.bincount(
+                row_idx[valid], minlength=n_rows
+            ).astype(np.int64)
+            terms_v = terms_flat.to_numpy()[valid]
+            docs_v = docs_flat[valid]
+            pos_v = pos_flat[valid]
+            dl_flat_v = dls_per_doc[row_idx[valid]]
+        if len(terms_v) == 0:
+            continue
+        codes, uniques = pd.factorize(pd.Series(terms_v, dtype=object), sort=True)
+        order = np.lexsort((pos_v, docs_v, codes))
+        codes_s = codes[order]
+        docs_s = docs_v[order]
+        pos_s = pos_v[order]
+        dls_s = dl_flat_v[order]
+        # term boundaries
+        t_change = np.flatnonzero(np.diff(codes_s)) + 1
+        t_starts = np.concatenate(([0], t_change))
+        t_ends = np.concatenate((t_change, [len(codes_s)]))
+        # doc boundaries (within the term-sorted stream)
+        d_change = np.flatnonzero(np.diff(docs_s)) + 1
+        doc_start_mask = np.zeros(len(docs_s), dtype=bool)
+        doc_start_mask[0] = True
+        doc_start_mask[d_change] = True
+        doc_start_mask[t_starts] = True
+        doc_start_idx = np.flatnonzero(doc_start_mask)
+        with_positions = aname != "keyword"
+        for ti in range(len(t_starts)):
+            s, e = int(t_starts[ti]), int(t_ends[ti])
+            dstarts = doc_start_idx[
+                np.searchsorted(doc_start_idx, s) : np.searchsorted(
+                    doc_start_idx, e
+                )
+            ]
+            dends = np.concatenate((dstarts[1:], [e]))
+            u_docs = docs_s[dstarts]
+            tfs = (dends - dstarts).astype(np.int64)
+            u_dls = dls_s[dstarts]
+            row = encode_posting_list_flat(
+                u_docs,
+                tfs,
+                pos_s[s:e] if with_positions else None,
+                u_dls,
+            )
             out_rows.append(
                 (
                     seg_id,
                     field,
-                    str(term),
+                    str(uniques[ti]),
                     int(row["df"]),
                     row["doc_bin"],
                     row["tf_bin"],
@@ -450,3 +491,34 @@ class SegmentIndex:
         from ferret_spark.wand import segment_search
 
         return segment_search(self, q, k=k, offset=offset, prune=prune)
+
+    def query(self, fql: str, k: int = 10, offset: int = 0, **parser_kw):
+        """Parse an FQL string (Ferret Query Language) and search."""
+        from ferret_spark.parser import QueryParser
+
+        tokenized = [
+            f for f, a in self.field_config.items() if a != "keyword"
+        ]
+        default_analyzer = (
+            self.field_config.get(tokenized[0], "standard") if tokenized else "standard"
+        )
+        p = QueryParser(
+            default_field=tokenized[0] if tokenized else "content",
+            fields=list(self.field_config),
+            tokenized_fields=tokenized,
+            analyzer=parser_kw.pop("analyzer", default_analyzer),
+            **parser_kw,
+        )
+        q = p.parse(fql)
+        if q is None:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        return self.search(q, k=k, offset=offset)
+
+    def cache(self) -> "SegmentIndex":
+        """Persist the hot query-side tables in executor memory (the warm
+        'reader open' state — segment rows + term dictionary)."""
+        self.segments = self.segments.persist()
+        self.term_stats = self.term_stats.persist()
+        self.segments.count()
+        self.term_stats.count()
+        return self

@@ -162,3 +162,25 @@ def test_manifest_metrics(golden_seg, spark):
         assert m[stage]["elapsed_sec"] >= 0
     assert m["docs"]["rows"] == 18
     assert m["segments"]["bytes"] > 0
+
+
+def test_fql_string_query_end_to_end(golden_seg):
+    # FQL string -> parse -> segment search; parity with the equivalent tree
+    oracle, sidx = golden_seg
+    got = [
+        (r["doc_id"], r["score"])
+        for r in sidx.query(
+            'word1 AND word3 "quick brown fox"~4', k=20, analyzer="whitespace"
+        ).collect()
+    ]
+    from ferret_spark.parser import QueryParser
+
+    p = QueryParser(
+        default_field="content",
+        fields=list(GOLDEN_FIELD_CONFIG),
+        tokenized_fields=["content"],
+        analyzer="whitespace",
+    )
+    q = p.parse('word1 AND word3 "quick brown fox"~4')
+    exp = oracle.search(q, k=20)
+    assert [d for d, _ in got] == [d for d, _ in exp]
