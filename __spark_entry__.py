@@ -363,8 +363,196 @@ def entry(spark: SparkSession) -> DataFrame:
     return _topk(idx, q)
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (ferret_spark.pipeline)
+
+
+def _pipe(fn_name: str, **kw):
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ferret_spark import pipeline as P
+
+        return getattr(P, fn_name)(spark, sf_dir, **kw)
+
+    return f
+
+
+# shared DuckDB CTE: tokenized documents + 3-gram shingles (mirrors
+# pipeline._toks_col / _shingles exactly)
+_PIPE_PRELUDE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - 3, 0) + 1),
+           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
+  FROM toks
+)
+"""
+
+_SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY sha256(text) ORDER BY canonical_doc_id
+"""
+
+_SQL_NGRAM_JACCARD = (
+    _PIPE_PRELUDE
+    + """,
+sh2 AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh2),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(p.n_common / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE), 6)
+         AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE round(p.n_common / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE), 6)
+      >= 0.4
+ORDER BY doc_a, doc_b
+"""
+)
+
+_SQL_MINHASH_LSH = (
+    _PIPE_PRELUDE
+    + """,
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32),
+           i -> list_min(list_transform(sh, s -> md5(s || ':' || i)))) AS sig
+  FROM sh WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(list_slice(sig, b.band * 4 + 1,
+                                        b.band * 4 + 4), ',')) AS bhash
+  FROM sig, (SELECT unnest(range(0, 8)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+)
+
+_SQL_ANN_COSINE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(
+           list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6)
+           AS cosine
+  FROM embeddings, q WHERE vec_id <> 0
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id)::BIGINT AS rank,
+       vec_id, cosine
+FROM scored ORDER BY rank LIMIT 10
+"""
+
+_STOPWORDS_SQL = None
+
+
+def _stopwords_sql() -> str:
+    global _STOPWORDS_SQL
+    if _STOPWORDS_SQL is None:
+        from ferret_spark.analysis import ENGLISH_STOP_WORDS
+
+        _STOPWORDS_SQL = ", ".join(
+            f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)
+        )
+    return _STOPWORDS_SQL
+
+
+def _sql_lang_id() -> str:
+    return (
+        _PIPE_PRELUDE
+        + f"""
+SELECT doc_id,
+       round(len(list_filter(toks, t -> list_contains([{_stopwords_sql()}], t)))
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       CASE WHEN round(len(list_filter(toks,
+                 t -> list_contains([{_stopwords_sql()}], t)))
+             / greatest(len(toks), 1), 6) >= 0.1 THEN 1 ELSE 0 END
+         AS is_englishlike
+FROM toks ORDER BY doc_id
+"""
+    )
+
+
+_SQL_QUALITY = (
+    _PIPE_PRELUDE
+    + """
+SELECT doc_id,
+  round(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+        / greatest(len(toks), 1), 6) AS mean_token_len,
+  round(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+        / greatest(len(toks), 1), 6) AS alpha_fraction,
+  len(toks) AS n_tokens,
+  round(
+    least(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+          / greatest(len(toks), 1) / 10.0, 1.0) * 0.3
+    + (len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+       / greatest(len(toks), 1)) * 0.4
+    + least(len(toks) / 100.0, 1.0) * 0.3, 6) AS quality_score
+FROM toks ORDER BY doc_id
+"""
+)
+
+_SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))
+    AS ws_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]', 0))
+    AS subword_tokens,
+  length(text) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+_SQL_FINGERPRINT = (
+    _PIPE_PRELUDE
+    + """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM toks ORDER BY doc_id
+"""
+)
+
+_SQL_MULTIMODAL = """
+SELECT doc_id,
+  list_transform(range(0, 8),
+    i -> CAST(ascii(substr(md5(text), CAST(i AS INT) + 1, 1)) AS DOUBLE))
+    AS feature,
+  strlen(text)::BIGINT AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # training-data pipeline ops
+        "pp_dedup_exact": _pipe("dedup_exact"),
+        "pp_dedup_ngram_jaccard": _pipe("dedup_ngram_jaccard"),
+        "pp_dedup_minhash_lsh": _pipe("dedup_minhash_lsh"),
+        "pp_dedup_simhash": _pipe("dedup_simhash"),
+        "pp_ann_cosine": _pipe("ann_cosine_topk"),
+        "pp_ann_lsh": _pipe("ann_lsh_topk"),
+        "pp_lang_id": _pipe("text_lang_id"),
+        "pp_quality": _pipe("text_quality"),
+        "pp_token_count": _pipe("text_token_count"),
+        "pp_fingerprint": _pipe("text_fingerprint"),
+        "pp_multimodal_features": _pipe("multimodal_features"),
         "ft_term": _q_term("spark"),
         "ft_term_hot": _q_term("batch"),
         "ft_bool_and": _q_bool("and", "scan", "join"),
@@ -384,6 +572,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # pipeline ops (pp_dedup_simhash and pp_ann_lsh are intentionally
+        # omitted: non-SQL-expressible hashing / probing -> rows-only check)
+        "pp_dedup_exact": _SQL_DEDUP_EXACT,
+        "pp_dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "pp_dedup_minhash_lsh": _SQL_MINHASH_LSH,
+        "pp_ann_cosine": _SQL_ANN_COSINE,
+        "pp_lang_id": _sql_lang_id(),
+        "pp_quality": _SQL_QUALITY,
+        "pp_token_count": _SQL_TOKEN_COUNT,
+        "pp_fingerprint": _SQL_FINGERPRINT,
+        "pp_multimodal_features": _SQL_MULTIMODAL,
         "ft_term": _sql_term("spark"),
         "ft_term_hot": _sql_term("batch"),
         "ft_bool_and": _sql_bool_and("scan", "join"),

@@ -9,24 +9,38 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
+_ZIP_CACHE: str | None = None
+
+
 def package_zip(out_dir: str | None = None) -> str:
     """Zip the ferret_spark package for shipping to executors — the
     ``spark-submit --py-files`` artifact (north_rule deployment mode).
     Also used by get_spark via addPyFile so UDF closures resolve their
-    module imports on executor Python workers in any deploy mode."""
+    module imports on executor Python workers in any deploy mode.
+
+    Byte-deterministic (fixed timestamps, sorted entries) so repeated
+    addPyFile calls — e.g. two sequential sessions in one bench process —
+    never trip Spark's same-name-different-content check."""
+    global _ZIP_CACHE
+    if _ZIP_CACHE is not None and os.path.exists(_ZIP_CACHE):
+        return _ZIP_CACHE
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out_dir = out_dir or tempfile.mkdtemp(prefix="ferret_spark_pyfiles_")
     zpath = os.path.join(out_dir, "ferret_spark.zip")
-    with zipfile.ZipFile(zpath, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for fn in files:
-                if not fn.endswith(".py"):
-                    continue
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
                 full = os.path.join(root, fn)
-                rel = os.path.join(
-                    "ferret_spark", os.path.relpath(full, pkg_dir)
-                )
-                zf.write(full, rel)
+                rel = os.path.join("ferret_spark", os.path.relpath(full, pkg_dir))
+                entries.append((rel, full))
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for rel, full in sorted(entries):
+            with open(full, "rb") as f:
+                data = f.read()
+            info = zipfile.ZipInfo(rel, date_time=(2000, 1, 1, 0, 0, 0))
+            zf.writestr(info, data)
+    _ZIP_CACHE = zpath
     return zpath
 
 
@@ -66,5 +80,8 @@ def get_spark(
     spark = _builder_spark(master, shuffle_partitions, app_name)
     # ship the package to executor Python workers (UDF closures reference
     # ferret_spark.* modules); same artifact spark-submit --py-files takes
-    spark.sparkContext.addPyFile(package_zip())
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already shipped to this context
     return spark

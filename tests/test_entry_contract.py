@@ -26,19 +26,20 @@ def ddb():
     return con
 
 
+def _norm_val(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    if hasattr(v, "tolist"):  # numpy array / scalar
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_val(x) for x in v)
+    return v
+
+
 def normalize(rows, cols):
     out = []
     for r in rows:
-        vals = []
-        for c in sorted(cols):
-            v = r[c]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "nan"
-                else:
-                    v = round(v, 6)
-            vals.append(v)
-        out.append(tuple(vals))
+        out.append(tuple(_norm_val(r[c]) for c in sorted(cols)))
     out.sort(key=lambda t: tuple(str(x) for x in t))
     return out
 
