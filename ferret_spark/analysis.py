@@ -174,6 +174,33 @@ class Analyzer:
         """Series[str] -> Series[list[(term, pos)]] — general form."""
         return s.fillna("").map(self.analyze)
 
+    # -- offsets surface (highlighting) -------------------------------------
+    def analyze_offsets(self, text: str) -> list[tuple[str, int, int, int]]:
+        """[(term, pos, start_char, end_char)] — token char offsets for
+        excerpt highlighting (reference tokens carry start/end,
+        c/include/analysis.h:20-27)."""
+        if self.tokenizer == "whitespace":
+            rx = _WS_RE
+        elif self.tokenizer == "letter":
+            rx = _LETTER_RE
+        elif self.tokenizer == "standard":
+            rx = _STANDARD_RE
+        else:
+            raise ValueError(self.tokenizer)
+        out = []
+        pos = -1
+        for m in rx.finditer(text):
+            t = m.group(0)
+            if self.tokenizer == "standard":
+                t = _standard_post(t)
+            if self.lowercase:
+                t = t.lower()
+            pos += 1
+            if self.stop_words is not None and t in self.stop_words:
+                continue
+            out.append((t, pos, m.start(), m.end()))
+        return out
+
 
 # Registry. The north-star default is letter+lowercase
 # (frt_letter_analyzer_new(true), c/src/analysis.c:534-540).

@@ -65,6 +65,21 @@ def pairs_udf(analyzer_name: str):
     return _tok
 
 
+def doc_len_udf(analyzer_name: str):
+    """int doc_len (post-filter token count) — avoids shipping whole token
+    arrays through Arrow when only the BM25 length is needed."""
+    analyzer = get_analyzer(analyzer_name)
+
+    @F.pandas_udf(T.IntegerType())
+    def _dl(s: pd.Series) -> pd.Series:
+        toks = analyzer.tokens_pandas(s)
+        return toks.map(
+            lambda ts: sum(1 for t in ts if t is not None and t != "")
+        ).astype("int32")
+
+    return _dl
+
+
 def assign_doc_ids(
     df: DataFrame, order_cols: Sequence[str], buckets: int = DOC_ID_BUCKETS
 ) -> DataFrame:
@@ -107,9 +122,15 @@ def build_docs(
     field_config: dict[str, str],
     id_cols: Sequence[str] | None = None,
     doc_id_col: str | None = None,
+    keep_tokens: bool = True,
 ) -> DataFrame:
     """Docs table: doc_id + original columns + per-field doc_len + sha256
-    of each tokenized field (input_hint invariant)."""
+    of each tokenized field (input_hint invariant).
+
+    ``keep_tokens=False`` (segment build path) computes doc_len via a
+    count-only UDF instead of materializing token arrays — the segment
+    inverter re-tokenizes executor-side anyway.
+    """
     if doc_id_col:
         df = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
     else:
@@ -118,13 +139,22 @@ def build_docs(
     for field, aname in field_config.items():
         if aname == "keyword":
             continue
-        tok = tokenize_udf(aname)
+        if keep_tokens:
+            tok = tokenize_udf(aname)
+            df = df.withColumn(
+                f"_toks_{field}", tok(F.col(field).cast("string"))
+            ).withColumn(
+                f"doc_len_{field}",
+                F.size(
+                    F.filter(F.col(f"_toks_{field}"), lambda t: t.isNotNull())
+                ),
+            )
+        else:
+            dl = doc_len_udf(aname)
+            df = df.withColumn(f"doc_len_{field}", dl(F.col(field).cast("string")))
         df = df.withColumn(
-            f"_toks_{field}", tok(F.col(field).cast("string"))
-        ).withColumn(
-            f"doc_len_{field}",
-            F.size(F.filter(F.col(f"_toks_{field}"), lambda t: t.isNotNull())),
-        ).withColumn(f"sha256_{field}", F.sha2(F.col(field).cast("string"), 256))
+            f"sha256_{field}", F.sha2(F.col(field).cast("string"), 256)
+        )
     return df
 
 

@@ -1,0 +1,319 @@
+"""FerretIndex — the top-level index facade.
+
+Reference: the Index convenience API (ruby/lib/ferret/index.rb:91-450,
+c/src/ind.c) — open/add/search/delete/optimize with auto-flush. Our LSM
+shape: every add_documents() batch becomes fresh doc-range segments
+(appended parquet), deletions are lazy (BitVector analog: a deleted-ids
+table applied at query time, c/src/index.c:5729-5745), and optimize()
+expunges deletes + rebuilds the merged generation (iw_optimize
+c/src/index.c:6439-6453).
+
+Deviation from the reference (by design): doc_ids are stable forever —
+merges never remap them (the reference renumbers via doc_map + base;
+stable global ids are what make distributed rank-identity testable).
+New batches start at the next segment boundary, so id space may have gaps;
+meta.json tracks the live id ranges.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ferret_spark import build as B
+from ferret_spark.query import Query, TermQuery
+from ferret_spark.segments import (
+    SegmentIndex,
+    SegmentIndexBuilder,
+    append_manifest,
+    build_segments,
+    merge_segments,
+)
+
+
+class FerretIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        field_config: dict[str, str] | None = None,
+        seg_size: int = 4096,
+        salt_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.path = path
+        self.seg_size = seg_size
+        self.salt_buckets = salt_buckets
+        self._idx: SegmentIndex | None = None
+        if os.path.exists(os.path.join(path, "meta.json")):
+            self._idx = SegmentIndex.load(spark, path)
+            self.field_config = self._idx.field_config
+            self.seg_size = self._idx.seg_size
+        else:
+            assert field_config, "field_config required to create a new index"
+            self.field_config = field_config
+
+    # ------------------------------------------------------------------ api
+    @property
+    def index(self) -> SegmentIndex:
+        assert self._idx is not None, "index is empty — add documents first"
+        return self._idx
+
+    def size(self) -> int:
+        return 0 if self._idx is None else self.index.stats["n_docs"]
+
+    def add_documents(self, df: DataFrame, id_cols=None, doc_id_col=None):
+        """Append a batch as new doc-range segments (the add_document /
+        flush path, E2). First call creates the index."""
+        if self._idx is None:
+            b = SegmentIndexBuilder(
+                self.spark,
+                self.path,
+                self.field_config,
+                seg_size=self.seg_size,
+                salt_buckets=self.salt_buckets,
+            )
+            self._idx = b.build(df, id_cols=id_cols, doc_id_col=doc_id_col)
+            meta = self._meta()
+            meta["id_ranges"] = [[0, meta["stats"]["n_docs"]]]
+            self._write_meta(meta)
+            self._idx = SegmentIndex.load(self.spark, self.path)
+            return self
+
+        meta = self._meta()
+        ranges = meta.get("id_ranges", [[0, meta["stats"]["n_docs"]]])
+        next_id = max(r[1] for r in ranges)
+        # new batch starts at the next segment boundary -> new seg_ids never
+        # collide with existing ones and stay doc-range aligned
+        base = ((next_id + self.seg_size - 1) // self.seg_size) * self.seg_size
+
+        if doc_id_col:
+            batch = df.withColumn(
+                "doc_id", (F.col(doc_id_col).cast("long") + F.lit(base))
+            )
+        else:
+            assert id_cols
+            batch = B.assign_doc_ids(df, id_cols).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(base)
+            )
+        docs = B.build_docs(batch, self.field_config, doc_id_col="doc_id")
+        keep = [c for c in docs.columns if not c.startswith("_toks_")]
+        n_new = docs.count()
+        docs.select(*keep).write.mode("append").parquet(
+            os.path.join(self.path, "docs")
+        )
+        segs = build_segments(
+            self.spark.read.parquet(os.path.join(self.path, "docs")).where(
+                F.col("doc_id") >= base
+            ),
+            self.field_config,
+            self.seg_size,
+        )
+        segs.write.mode("append").parquet(os.path.join(self.path, "segments"))
+        # refresh stats (global df/N/avgdl must stay global)
+        self._refresh_derived()
+        meta = self._meta()
+        meta["id_ranges"] = ranges + [[base, base + n_new]]
+        all_docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
+        meta["stats"] = B.build_corpus_stats(all_docs, self.field_config)
+        self._write_meta(meta)
+        append_manifest(
+            self.spark,
+            self.path,
+            f"add_batch_{int(time.time())}",
+            {"rows": n_new, "bytes": -1},
+        )
+        self._idx = SegmentIndex.load(self.spark, self.path)
+        return self
+
+    def _refresh_derived(self):
+        segs = self.spark.read.parquet(os.path.join(self.path, "segments"))
+        ts = segs.groupBy("field", "term").agg(F.sum("df").alias("df"))
+        ts.write.mode("overwrite").parquet(
+            os.path.join(self.path, "term_stats.tmp")
+        )
+        # atomic-ish swap
+        import shutil
+
+        final = os.path.join(self.path, "term_stats")
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(os.path.join(self.path, "term_stats.tmp"), final)
+        # merged generation is rebuilt lazily by optimize(); mark stale
+        meta = self._meta()
+        meta["merged_stale"] = True
+        self._write_meta(meta)
+
+    # -------------------------------------------------------------- deletes
+    def _deleted_path(self) -> str:
+        return os.path.join(self.path, "deleted")
+
+    def deleted_ids(self) -> set[int]:
+        p = self._deleted_path()
+        if not os.path.exists(p):
+            return set()
+        return {
+            r["doc_id"] for r in self.spark.read.parquet(p).collect()
+        }
+
+    def delete_by_term(self, field: str, term: str) -> int:
+        return self.delete_by_query(TermQuery(field=field, term=term))
+
+    def delete_by_query(self, q: Query) -> int:
+        """Lazy delete: record matching doc ids (iw_delete_term analog,
+        c/src/index.c:6366-6398)."""
+        hits = self.search(q, k=None).select("doc_id")
+        n = hits.count()
+        hits.write.mode("append").parquet(self._deleted_path())
+        return n
+
+    # -------------------------------------------------------------- search
+    def search(self, q: Query, k: int | None = 10, offset: int = 0) -> DataFrame:
+        from ferret_spark.wand import segment_search
+
+        deleted = self.deleted_ids()
+        return segment_search(
+            self.index, q, k=k, offset=offset, deleted=deleted
+        )
+
+    def query(self, fql: str, k: int = 10, **kw) -> DataFrame:
+        from ferret_spark.parser import QueryParser
+
+        tokenized = [f for f, a in self.field_config.items() if a != "keyword"]
+        p = QueryParser(
+            default_field=tokenized[0] if tokenized else "content",
+            fields=list(self.field_config),
+            tokenized_fields=tokenized,
+            analyzer=kw.pop("analyzer", self.field_config.get(tokenized[0], "standard") if tokenized else "standard"),
+        )
+        parsed = p.parse(fql)
+        if parsed is None:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        return self.search(parsed, k=k, **kw)
+
+    def get_doc(self, doc_id: int) -> dict | None:
+        rows = self.index.docs.where(F.col("doc_id") == doc_id).collect()
+        return rows[0].asDict() if rows else None
+
+    # ------------------------------------------------------------- optimize
+    def optimize(self):
+        """Expunge deletions by rewriting segments (decode -> drop ->
+        re-encode), rebuild the merged generation + stats, clear the
+        deletion list. Doc ids are preserved."""
+        from ferret_spark.codec import decode_posting_list, encode_posting_list
+        from ferret_spark.segments import (
+            MERGED_SCHEMA,
+            SEGMENT_SCHEMA,
+            _bm_dicts,
+            _bm_tuples,
+        )
+
+        deleted = self.deleted_ids()
+        segs = self.spark.read.parquet(os.path.join(self.path, "segments"))
+        if deleted:
+            del_b = self.spark.sparkContext.broadcast(deleted)
+
+            def rewrite(pdf: pd.DataFrame) -> pd.DataFrame:
+                dset = del_b.value
+                out = []
+                for _, r in pdf.iterrows():
+                    row = {
+                        "doc_bin": bytes(r["doc_bin"]),
+                        "tf_bin": bytes(r["tf_bin"]),
+                        "pos_bin": bytes(r["pos_bin"]),
+                        "dl_bin": bytes(r["dl_bin"]),
+                        "block_meta": _bm_dicts(r["block_meta"]),
+                        "df": int(r["df"]),
+                    }
+                    ids, tfs, pos, dls = decode_posting_list(row)
+                    keep = ~np.isin(ids, list(dset))
+                    if not keep.any():
+                        continue
+                    positions = (
+                        [p for p, k in zip(pos, keep) if k] if pos else None
+                    )
+                    enc = encode_posting_list(
+                        ids[keep], tfs[keep], positions, dls[keep]
+                    )
+                    out.append(
+                        (
+                            int(r["seg_id"]),
+                            r["field"],
+                            r["term"],
+                            int(enc["df"]),
+                            enc["doc_bin"],
+                            enc["tf_bin"],
+                            enc["pos_bin"],
+                            enc["dl_bin"],
+                            _bm_tuples(enc["block_meta"]),
+                        )
+                    )
+                return pd.DataFrame(
+                    out,
+                    columns=[
+                        "seg_id", "field", "term", "df",
+                        "doc_bin", "tf_bin", "pos_bin", "dl_bin", "block_meta",
+                    ],
+                )
+
+            segs = segs.mapInPandas(lambda it: map(rewrite, it), SEGMENT_SCHEMA)
+
+        tmp = os.path.join(self.path, "segments.tmp")
+        (
+            segs.repartition(F.col("seg_id"))
+            .sortWithinPartitions("seg_id", "field", "term")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        import shutil
+
+        final = os.path.join(self.path, "segments")
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        shutil.rmtree(self._deleted_path(), ignore_errors=True)
+
+        # rebuild merged + stats over the compacted segments
+        segs2 = self.spark.read.parquet(final)
+        merged = merge_segments(segs2, self.salt_buckets)
+        mtmp = os.path.join(self.path, "merged.tmp")
+        merged.repartitionByRange("field", "term").sortWithinPartitions(
+            "field", "term"
+        ).write.mode("overwrite").parquet(mtmp)
+        mfinal = os.path.join(self.path, "merged")
+        shutil.rmtree(mfinal, ignore_errors=True)
+        os.rename(mtmp, mfinal)
+        self._refresh_derived()
+        # remove deleted rows from the docs table + stats
+        if deleted:
+            docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
+            kept = docs.where(~F.col("doc_id").isin(list(deleted)))
+            dtmp = os.path.join(self.path, "docs.tmp")
+            kept.write.mode("overwrite").parquet(dtmp)
+            dfinal = os.path.join(self.path, "docs")
+            shutil.rmtree(dfinal, ignore_errors=True)
+            os.rename(dtmp, dfinal)
+        meta = self._meta()
+        all_docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
+        meta["stats"] = B.build_corpus_stats(all_docs, self.field_config)
+        meta["merged_stale"] = False
+        self._write_meta(meta)
+        append_manifest(
+            self.spark, self.path, f"optimize_{int(time.time())}",
+            {"rows": len(deleted), "bytes": -1},
+        )
+        self._idx = SegmentIndex.load(self.spark, self.path)
+        return self
+
+    # ---------------------------------------------------------------- meta
+    def _meta(self) -> dict:
+        with open(os.path.join(self.path, "meta.json")) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict):
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(meta, f)

@@ -48,12 +48,15 @@ from ferret_spark import build as B
 from ferret_spark.analysis import get_analyzer
 from ferret_spark.codec import concat_posting_rows, encode_posting_list_flat
 
+BLOCK_META_TYPE = (
+    "array<struct<first:long,last:long,count:int,max_tf:int,"
+    "min_dl:int,doc_off:long,doc_len:long,tf_off:long,tf_len:long,"
+    "pos_off:long,pos_len:long,dl_off:long,dl_len:long>>"
+)
 SEGMENT_SCHEMA = (
     "seg_id int, field string, term string, df long, "
     "doc_bin binary, tf_bin binary, pos_bin binary, dl_bin binary, "
-    "block_meta array<struct<first:long,last:long,count:int,max_tf:int,"
-    "min_dl:int,doc_off:long,doc_len:long,tf_off:long,tf_len:long,"
-    "pos_off:long,pos_len:long,dl_off:long,dl_len:long>>"
+    f"block_meta {BLOCK_META_TYPE}"
 )
 MERGED_SCHEMA = SEGMENT_SCHEMA.replace("seg_id int, ", "")
 
@@ -222,51 +225,108 @@ def _row_to_codec(r) -> dict:
     }
 
 
+_PARTS_FIELDS = ["df", "doc_bin", "tf_bin", "pos_bin", "dl_bin", "block_meta"]
+
+
+def _parts_struct():
+    # 'first' leads the struct so sort_array orders parts by doc range
+    return F.struct(
+        F.expr("block_meta[0].first").alias("first"),
+        *[F.col(c) for c in _PARTS_FIELDS],
+    )
+
+
+def _concat_stage(df: DataFrame, keys: list[str]) -> DataFrame:
+    """groupBy(keys) -> one merged posting row per group. The group's rows
+    are gathered with collect_list (map-side combinable, one shuffle of
+    compressed bytes) and concatenated in a BATCHED mapInPandas — one
+    Python invocation per Arrow batch of terms, not per term."""
+    grouped = df.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(_parts_struct())).alias("parts")
+    )
+    out_schema = ", ".join(
+        ["field string", "term string"]
+        + (["salt int"] if "salt" in keys else [])
+        + [
+            "df long",
+            "doc_bin binary",
+            "tf_bin binary",
+            "pos_bin binary",
+            "dl_bin binary",
+            f"block_meta {BLOCK_META_TYPE}",
+        ]
+    )
+
+    key_cols = list(keys)
+
+    def concat_batches(batches):
+        for pdf in batches:
+            rows_out = []
+            for i in range(len(pdf)):
+                parts = pdf["parts"].iloc[i]
+                rows = [
+                    {
+                        "doc_bin": bytes(p["doc_bin"]),
+                        "tf_bin": bytes(p["tf_bin"]),
+                        "pos_bin": bytes(p["pos_bin"]),
+                        "dl_bin": bytes(p["dl_bin"]),
+                        "block_meta": _bm_dicts(p["block_meta"]),
+                        "df": int(p["df"]),
+                    }
+                    for p in parts
+                ]
+                m = concat_posting_rows(rows)
+                rows_out.append(
+                    tuple(pdf[k].iloc[i] for k in key_cols)
+                    + (
+                        int(m["df"]),
+                        m["doc_bin"],
+                        m["tf_bin"],
+                        m["pos_bin"],
+                        m["dl_bin"],
+                        _bm_tuples(m["block_meta"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows_out,
+                columns=key_cols
+                + ["df", "doc_bin", "tf_bin", "pos_bin", "dl_bin", "block_meta"],
+            )
+
+    return grouped.mapInPandas(concat_batches, out_schema)
+
+
 def merge_segments(
     segments: DataFrame, salt_buckets: int = 8, seg_per_bucket: int | None = None
 ) -> DataFrame:
-    """Two-stage salted merge -> global (field, term) rows.
+    """Hierarchical salted merge -> global (field, term) rows.
 
-    salt = seg_id // seg_per_bucket (contiguous doc ranges, so stage-2
-    concat stays monotonic). Hot terms (Zipf head appears in EVERY segment)
-    are spread across `salt_buckets` reducers in stage 1 instead of
-    funneling all their rows through one task.
+    When the segment count is small a single concat stage suffices; past
+    ~8x salt_buckets segments, a salted first stage (salt = contiguous
+    seg_id bucket, so stage-2 concat stays doc-range monotonic) spreads a
+    hot term's rows over salt_buckets reducers first — the Zipf head
+    appears in EVERY segment, and without salting its entire posting list
+    would funnel through one task (skew handling required by north_rule).
     """
+    max_seg = segments.agg(F.max("seg_id")).collect()[0][0] or 0
+    n_segments = max_seg + 1
     if seg_per_bucket is None:
-        max_seg = segments.agg(F.max("seg_id")).collect()[0][0] or 0
-        seg_per_bucket = max(1, (max_seg + 1 + salt_buckets - 1) // salt_buckets)
+        seg_per_bucket = max(1, (n_segments + salt_buckets - 1) // salt_buckets)
+
+    if n_segments <= salt_buckets * 8:
+        return _concat_stage(segments, ["field", "term"]).select(
+            "field", "term", "df",
+            "doc_bin", "tf_bin", "pos_bin", "dl_bin", "block_meta",
+        )
 
     salted = segments.withColumn(
         "salt", (F.col("seg_id") / F.lit(seg_per_bucket)).cast("int")
     )
-
-    def merge_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        field, term = key[0], key[1]
-        rows = [_row_to_codec(r) for _, r in pdf.iterrows()]
-        m = concat_posting_rows(rows)
-        return pd.DataFrame(
-            [
-                (
-                    field, term, int(m["df"]),
-                    m["doc_bin"], m["tf_bin"], m["pos_bin"], m["dl_bin"],
-                    _bm_tuples(m["block_meta"]),
-                )
-            ],
-            columns=[
-                "field", "term", "df",
-                "doc_bin", "tf_bin", "pos_bin", "dl_bin", "block_meta",
-            ],
-        )
-
-    def merge_fn_salted(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return merge_fn((key[0], key[1]), pdf)
-
-    # stage 1: partial merge within salt bucket
-    partial = salted.groupBy("field", "term", "salt").applyInPandas(
-        lambda key, pdf: merge_fn_salted(key, pdf), MERGED_SCHEMA
+    partial = _concat_stage(salted, ["field", "term", "salt"])
+    return _concat_stage(partial.drop("salt"), ["field", "term"]).select(
+        "field", "term", "df",
+        "doc_bin", "tf_bin", "pos_bin", "dl_bin", "block_meta",
     )
-    # stage 2: final merge across buckets
-    return partial.groupBy("field", "term").applyInPandas(merge_fn, MERGED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -367,7 +427,10 @@ class SegmentIndexBuilder:
         docs_dir = os.path.join(path, "docs")
         if "docs" not in done:
             t0 = time.time()
-            docs = B.build_docs(corpus, self.field_config, id_cols, doc_id_col)
+            docs = B.build_docs(
+                corpus, self.field_config, id_cols, doc_id_col,
+                keep_tokens=False,
+            )
             keep = [c for c in docs.columns if not c.startswith("_toks_")]
             docs.select(*keep).write.mode("overwrite").parquet(docs_dir)
             n = spark.read.parquet(docs_dir).count()
@@ -452,6 +515,10 @@ class SegmentIndex:
         self.stats = meta["stats"]
         self.field_config = meta["field_config"]
         self.seg_size = meta["seg_size"]
+        # live doc-id ranges (incremental adds leave boundary gaps)
+        self.id_ranges = meta.get(
+            "id_ranges", [[0, self.stats["n_docs"]]]
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SegmentIndex":

@@ -57,9 +57,14 @@ def _builder_spark(
     return (
         SparkSession.builder.master(master)
         .appName(app_name)
-        # AQE re-plans shuffles at runtime (skew joins, partition coalescing)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition coalescing collapses our small-but-CPU-heavy Python
+        # stages (applyInPandas inversion/merge) to a handful of tasks —
+        # measured 2-6x slowdowns at local[32] — so it's off by default;
+        # re-enable for IO-heavy cluster runs with FERRET_AQE=1
+        .config(
+            "spark.sql.adaptive.enabled",
+            "true" if os.environ.get("FERRET_AQE") == "1" else "false",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow everywhere: pandas UDFs and mapInArrow are the hot path

@@ -142,13 +142,16 @@ class _SegEval:
     """Evaluates a query tree over one segment's decoded posting rows.
     Nodes return (mask bool[seg_n], score float64[seg_n])."""
 
-    def __init__(self, rows_by_ft, dfs, n_docs, avgdl_map, base, seg_n):
+    def __init__(
+        self, rows_by_ft, dfs, n_docs, avgdl_map, base, seg_n, id_ranges=None
+    ):
         self.rows = rows_by_ft  # (field, term) -> codec row dict
         self.dfs = dfs
         self.n_docs = n_docs
         self.avgdl = avgdl_map
         self.base = base
         self.seg_n = seg_n
+        self.id_ranges = id_ranges or [[0, n_docs]]
         self._decoded: dict[tuple, tuple] = {}
 
     def decoded(self, field, term, with_positions=False):
@@ -180,8 +183,11 @@ class _SegEval:
             return self._eval_phrase(q)
         if isinstance(q, MatchAllQuery):
             mask = np.zeros(self.seg_n, dtype=bool)
-            n_here = min(self.seg_n, max(0, self.n_docs - self.base))
-            mask[:n_here] = True
+            for lo, hi in self.id_ranges:
+                a = max(lo, self.base) - self.base
+                b = min(hi, self.base + self.seg_n) - self.base
+                if b > a:
+                    mask[a:b] = True
             score = np.zeros(self.seg_n, dtype=np.float64)
             score[mask] = q.boost * 1.0
             return mask, score
@@ -352,7 +358,9 @@ def _phrase_repeats(q: PhraseQuery) -> bool:
 # block-max WAND for top-level disjunctions
 
 
-def _wand_multiterm_topk(ev: _SegEval, q: MultiTermQuery, k: int):
+def _wand_multiterm_topk(
+    ev: _SegEval, q: MultiTermQuery, k: int, del_local=None
+):
     """Interval block-max WAND: build the piecewise upper-bound function
     from block metadata, visit intervals in decreasing ub order, stop when
     the bound can no longer beat the kth score."""
@@ -414,6 +422,11 @@ def _wand_multiterm_topk(ev: _SegEval, q: MultiTermQuery, k: int):
                 acc_s[idxs] += contrib[sel]
                 seen[idxs] = True
         docs_here = np.flatnonzero(seen)
+        if del_local is not None and len(del_local):
+            dl_in = del_local[(del_local >= lo) & (del_local < hi)] - lo
+            if len(dl_in):
+                keep = ~np.isin(docs_here, dl_in)
+                docs_here = docs_here[keep]
         if len(docs_here) == 0:
             continue
         # identical adds as _eval_multi (sorted-term order), so these ARE
@@ -440,7 +453,12 @@ def _wand_multiterm_topk(ev: _SegEval, q: MultiTermQuery, k: int):
 
 
 def segment_search(
-    index, q: Query, k: int | None = 10, offset: int = 0, prune: bool = True
+    index,
+    q: Query,
+    k: int | None = 10,
+    offset: int = 0,
+    prune: bool = True,
+    deleted: set[int] | None = None,
 ) -> DataFrame:
     rq = wand_rewrite(index, q)
     pairs = sorted(set(_collect_terms(rq)))
@@ -486,17 +504,32 @@ def segment_search(
         seg_rows = seg_rows.unionByName(stub)
 
     local_k = None if k is None else offset + k
+    # interval block-max WAND pays off for small disjunctions; past ~32
+    # terms the vectorized dense-accumulator exact path is faster (one
+    # np.add.at per term vs per-interval × per-term slicing)
     use_wand = (
         prune
         and local_k is not None
-        and isinstance(rq, (MultiTermQuery, TermQuery))
+        and isinstance(rq, MultiTermQuery)
+        and len(rq.terms) <= 32
     )
     rq_for_exec = rq
+
+    deleted = deleted or set()
+    id_ranges = getattr(index, "id_ranges", None) or [[0, n_docs]]
 
     def score_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
         seg_id = int(key[0])
         base = seg_id * seg_size
         seg_n = seg_size
+        del_local = (
+            np.array(
+                sorted(d - base for d in deleted if base <= d < base + seg_n),
+                dtype=np.int64,
+            )
+            if deleted
+            else None
+        )
         rows_by_ft = {}
         for _, r in pdf.iterrows():
             if r["field"] == "__stub__":
@@ -512,13 +545,19 @@ def segment_search(
                 ],
                 "df": int(r["df"]),
             }
-        ev = _SegEval(rows_by_ft, dfs, n_docs, avgdl_map, base, seg_n)
+        ev = _SegEval(
+            rows_by_ft, dfs, n_docs, avgdl_map, base, seg_n, id_ranges
+        )
         if use_wand and isinstance(rq_for_exec, MultiTermQuery):
-            docs, scores = _wand_multiterm_topk(ev, rq_for_exec, local_k)
+            docs, scores = _wand_multiterm_topk(
+                ev, rq_for_exec, local_k, del_local
+            )
             return pd.DataFrame(
                 {"doc_id": [d + base for d in docs], "score": scores}
             )
         mask, score = ev.eval(rq_for_exec)
+        if del_local is not None and len(del_local):
+            mask[del_local] = False
         locs = np.flatnonzero(mask)
         if local_k is not None and len(locs) > local_k:
             s = score[locs]

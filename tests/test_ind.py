@@ -1,0 +1,98 @@
+"""FerretIndex facade: incremental add, lazy delete, optimize — the
+reference Index lifecycle (ruby/lib/ferret/index.rb, test analog:
+ruby/test/unit/index/tc_index.rb patterns)."""
+
+import pytest
+
+from ferret_spark.ind import FerretIndex
+from ferret_spark.oracle import OracleIndex
+from ferret_spark.query import MUST, BooleanQuery, MatchAllQuery, TermQuery
+
+
+def T(t):
+    return TermQuery(field="content", term=t)
+
+
+ROWS_A = [
+    {"doc_id": 0, "content": "apple banana cherry"},
+    {"doc_id": 1, "content": "banana cherry date"},
+    {"doc_id": 2, "content": "cherry date egg"},
+]
+ROWS_B = [
+    {"doc_id": 0, "content": "apple egg fig"},
+    {"doc_id": 1, "content": "fig grape apple"},
+]
+
+FC = {"content": "whitespace"}
+
+
+@pytest.fixture()
+def fidx(spark, tmp_path):
+    idx = FerretIndex(spark, str(tmp_path / "fidx"), FC, seg_size=2)
+    idx.add_documents(spark.createDataFrame(ROWS_A), doc_id_col="doc_id")
+    return idx
+
+
+def _hits(df):
+    return {r["doc_id"] for r in df.collect()}
+
+
+def test_incremental_add_global_stats(spark, fidx):
+    assert fidx.size() == 3
+    fidx.add_documents(spark.createDataFrame(ROWS_B), doc_id_col="doc_id")
+    assert fidx.size() == 5
+    # batch B ids start at the next segment boundary (seg_size=2 -> base 4)
+    got = _hits(fidx.search(T("apple"), k=None))
+    assert got == {0, 4, 5}
+    # oracle over the union corpus (in id order) must rank-match:
+    # global df/N/avgdl were refreshed after the add
+    all_rows = [
+        {"content": ROWS_A[0]["content"]},
+        {"content": ROWS_A[1]["content"]},
+        {"content": ROWS_A[2]["content"]},
+        {"content": ROWS_B[0]["content"]},
+        {"content": ROWS_B[1]["content"]},
+    ]
+    oracle = OracleIndex(all_rows, FC)
+    id_map = {0: 0, 1: 1, 2: 2, 3: 4, 4: 5}
+    exp = [(id_map[d], s) for d, s in oracle.search(T("apple"), k=5)]
+    got_ranked = [
+        (r["doc_id"], r["score"]) for r in fidx.search(T("apple"), k=5).collect()
+    ]
+    assert [d for d, _ in got_ranked] == [d for d, _ in exp]
+    import numpy as np
+
+    for (gd, gs), (ed, es) in zip(got_ranked, exp):
+        assert np.float32(gs) == np.float32(es)
+
+
+def test_match_all_respects_id_gaps(spark, fidx):
+    fidx.add_documents(spark.createDataFrame(ROWS_B), doc_id_col="doc_id")
+    got = _hits(fidx.search(MatchAllQuery(), k=None))
+    assert got == {0, 1, 2, 4, 5}
+
+
+def test_delete_and_search(spark, fidx):
+    n = fidx.delete_by_term("content", "egg")
+    assert n == 1  # doc 2
+    assert _hits(fidx.search(T("cherry"), k=None)) == {0, 1}
+    assert _hits(fidx.search(MatchAllQuery(), k=None)) == {0, 1}
+
+
+def test_optimize_expunges(spark, fidx):
+    fidx.delete_by_term("content", "egg")
+    fidx.optimize()
+    assert fidx.deleted_ids() == set()
+    assert fidx.size() == 2
+    assert _hits(fidx.search(T("cherry"), k=None)) == {0, 1}
+    # stats now reflect the compacted corpus (df of 'cherry' drops to 2)
+    dfs = fidx.index.doc_freqs([("content", "cherry"), ("content", "egg")])
+    assert dfs[("content", "cherry")] == 2
+    assert dfs[("content", "egg")] == 0
+    # doc ids unchanged after compaction
+    assert fidx.get_doc(1)["content"] == "banana cherry date"
+
+
+def test_query_string_facade(spark, fidx):
+    got = _hits(fidx.query("banana AND cherry", k=10))
+    assert got == {0, 1}
