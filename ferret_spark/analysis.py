@@ -77,8 +77,10 @@ _POSSESSIVE_RE = re.compile(r"['']s$")
 
 
 def _standard_post(tok: str) -> str:
-    tok = _POSSESSIVE_RE.sub("", tok)
-    if _ACRONYM_RE.match(tok):
+    # fast paths: regexes only when the token can possibly match
+    if "'" in tok or "'" in tok:
+        tok = _POSSESSIVE_RE.sub("", tok)
+    if "." in tok and _ACRONYM_RE.match(tok):
         tok = tok.replace(".", "")
     return tok
 
@@ -158,16 +160,26 @@ class Analyzer:
         elif self.tokenizer == "letter":
             toks = s.str.findall(_LETTER_RE)
         elif self.tokenizer == "standard":
-            toks = s.str.findall(_STANDARD_RE).map(
-                lambda ts: [_standard_post(t) for t in ts]
-            )
+            toks = s.str.findall(_STANDARD_RE)
         else:
             raise ValueError(self.tokenizer)
-        if self.lowercase:
-            toks = toks.map(lambda ts: [t.lower() for t in ts])
-        if self.stop_words is not None:
-            sw = self.stop_words
-            toks = toks.map(lambda ts: [None if t in sw else t for t in ts])
+        # one fused pass: post-process + lowercase + stop-marking
+        post = self.tokenizer == "standard"
+        lower = self.lowercase
+        sw = self.stop_words
+
+        def fix(ts):
+            out = []
+            for t in ts:
+                if post:
+                    t = _standard_post(t)
+                if lower:
+                    t = t.lower()
+                out.append(None if (sw is not None and t in sw) else t)
+            return out
+
+        if post or lower or sw is not None:
+            toks = toks.map(fix)
         return toks
 
     def pairs_pandas(self, s: pd.Series) -> pd.Series:

@@ -243,6 +243,130 @@ def decode_posting_list(row: dict, with_positions: bool = True):
     )
 
 
+_BM_ORDER = [
+    "first", "last", "count", "max_tf", "min_dl",
+    "doc_off", "doc_len", "tf_off", "tf_len",
+    "pos_off", "pos_len", "dl_off", "dl_len",
+]
+
+
+def encode_segment_terms(
+    udocs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    term_starts: np.ndarray,
+    pos_flat: np.ndarray | None,
+):
+    """Batch-encode EVERY term of a segment in four vectorized vbyte passes
+    (one per stream) instead of per-term calls — byte-identical to running
+    encode_posting_list_flat per term.
+
+    Inputs are posting-major arrays sorted by (term, doc): udocs/tfs/dls
+    have one entry per (term, doc) posting; ``term_starts`` are posting
+    indices where each term begins; ``pos_flat`` holds each posting's
+    sorted positions back-to-back (posting i owns
+    pos_flat[tok_bounds[i]:tok_bounds[i+1]], tok_bounds = cumsum(tfs)).
+
+    Returns (per-term list of (doc_bin, tf_bin, pos_bin, dl_bin,
+    block_meta_tuples, df)).
+    """
+    P = len(udocs)
+    T = len(term_starts)
+    term_ends = np.concatenate((term_starts[1:], [P]))
+    sizes = term_ends - term_starts
+    rank = np.arange(P, dtype=np.int64) - np.repeat(term_starts, sizes)
+    block_start_mask = (rank % BLOCK_SIZE) == 0
+    bs = np.flatnonzero(block_start_mask)
+    be = np.concatenate((bs[1:], [P])) - 1
+
+    # doc deltas (reset at block starts)
+    dd = np.empty(P, dtype=np.int64)
+    if P:
+        dd[0] = 0
+        dd[1:] = np.diff(udocs)
+        dd[bs] = 0
+    doc_lens_b = vbyte_lengths(dd.astype(np.uint64))
+    doc_cum = np.concatenate(([0], np.cumsum(doc_lens_b)))
+    doc_all = vbyte_encode(dd.astype(np.uint64))
+
+    tf_lens_b = vbyte_lengths(tfs.astype(np.uint64))
+    tf_cum = np.concatenate(([0], np.cumsum(tf_lens_b)))
+    tf_all = vbyte_encode(tfs.astype(np.uint64))
+
+    dl_lens_b = vbyte_lengths(dls.astype(np.uint64))
+    dl_cum = np.concatenate(([0], np.cumsum(dl_lens_b)))
+    dl_all = vbyte_encode(dls.astype(np.uint64))
+
+    tok_bounds = np.concatenate(([0], np.cumsum(tfs)))
+    if pos_flat is not None and len(pos_flat):
+        pd_ = pos_flat.astype(np.int64).copy()
+        pd_[1:] -= pos_flat[:-1]
+        starts_tok = tok_bounds[:-1]
+        pd_[starts_tok] = pos_flat[starts_tok]
+        pos_lens_b = vbyte_lengths(pd_.astype(np.uint64))
+        pos_cum = np.concatenate(([0], np.cumsum(pos_lens_b)))
+        pos_all = vbyte_encode(pd_.astype(np.uint64))
+    else:
+        pos_cum = None
+        pos_all = np.empty(0, dtype=np.uint8)
+
+    # per-block aggregates (global reduceat over block starts)
+    blk_max_tf = np.maximum.reduceat(tfs, bs) if len(bs) else np.empty(0)
+    blk_min_dl = np.minimum.reduceat(dls, bs) if len(bs) else np.empty(0)
+    blk_term = np.searchsorted(term_starts, bs, side="right") - 1
+
+    out = []
+    bi = 0
+    n_blocks = len(bs)
+    for t in range(T):
+        s_p, e_p = int(term_starts[t]), int(term_ends[t])
+        d0, d1 = int(doc_cum[s_p]), int(doc_cum[e_p])
+        t0, t1 = int(tf_cum[s_p]), int(tf_cum[e_p])
+        l0, l1 = int(dl_cum[s_p]), int(dl_cum[e_p])
+        if pos_cum is not None:
+            p0 = int(pos_cum[tok_bounds[s_p]])
+            p1 = int(pos_cum[tok_bounds[e_p]])
+        else:
+            p0 = p1 = 0
+        metas = []
+        while bi < n_blocks and blk_term[bi] == t:
+            b_s, b_e = int(bs[bi]), int(be[bi])
+            if pos_cum is not None:
+                pb0 = int(pos_cum[tok_bounds[b_s]]) - p0
+                pb1 = int(pos_cum[tok_bounds[b_e + 1]]) - p0
+            else:
+                pb0 = pb1 = 0
+            metas.append(
+                (
+                    int(udocs[b_s]),            # first
+                    int(udocs[b_e]),            # last
+                    b_e - b_s + 1,              # count
+                    int(blk_max_tf[bi]),        # max_tf
+                    int(blk_min_dl[bi]),        # min_dl
+                    int(doc_cum[b_s]) - d0,     # doc_off
+                    int(doc_cum[b_e + 1] - doc_cum[b_s]),  # doc_len
+                    int(tf_cum[b_s]) - t0,      # tf_off
+                    int(tf_cum[b_e + 1] - tf_cum[b_s]),    # tf_len
+                    pb0,                        # pos_off
+                    pb1 - pb0,                  # pos_len
+                    int(dl_cum[b_s]) - l0,      # dl_off
+                    int(dl_cum[b_e + 1] - dl_cum[b_s]),    # dl_len
+                )
+            )
+            bi += 1
+        out.append(
+            (
+                doc_all[d0:d1].tobytes(),
+                tf_all[t0:t1].tobytes(),
+                pos_all[p0:p1].tobytes() if pos_cum is not None else b"",
+                dl_all[l0:l1].tobytes(),
+                metas,
+                e_p - s_p,
+            )
+        )
+    return out
+
+
 def concat_posting_rows(rows: list[dict]) -> dict:
     """Merge same-term rows from doc-range-disjoint segments: pure byte
     concatenation + offset-shifted block_meta (no re-encoding — the merge

@@ -46,7 +46,11 @@ from pyspark.sql import functions as F
 
 from ferret_spark import build as B
 from ferret_spark.analysis import get_analyzer
-from ferret_spark.codec import concat_posting_rows, encode_posting_list_flat
+from ferret_spark.codec import (
+    concat_posting_rows,
+    encode_posting_list_flat,
+    encode_segment_terms,
+)
 
 BLOCK_META_TYPE = (
     "array<struct<first:long,last:long,count:int,max_tf:int,"
@@ -140,51 +144,56 @@ def invert_partition(
         if len(terms_v) == 0:
             continue
         codes, uniques = pd.factorize(pd.Series(terms_v, dtype=object), sort=True)
-        order = np.lexsort((pos_v, docs_v, codes))
+        # single stable argsort on a packed (code, local_doc) key; token
+        # order within a doc is already position order, so stability gives
+        # the (term, doc, pos) order one lexsort would — at ~half the
+        # memory traffic
+        doc_min = docs_v.min() if len(docs_v) else 0
+        packed = (codes.astype(np.int64) << np.int64(32)) | (
+            docs_v - doc_min
+        )
+        order = np.argsort(packed, kind="stable")
         codes_s = codes[order]
         docs_s = docs_v[order]
         pos_s = pos_v[order]
         dls_s = dl_flat_v[order]
-        # term boundaries
+        # posting boundaries (term-major token stream -> (term, doc) runs)
         t_change = np.flatnonzero(np.diff(codes_s)) + 1
-        t_starts = np.concatenate(([0], t_change))
-        t_ends = np.concatenate((t_change, [len(codes_s)]))
-        # doc boundaries (within the term-sorted stream)
+        t_starts_tok = np.concatenate(([0], t_change))
         d_change = np.flatnonzero(np.diff(docs_s)) + 1
         doc_start_mask = np.zeros(len(docs_s), dtype=bool)
         doc_start_mask[0] = True
         doc_start_mask[d_change] = True
-        doc_start_mask[t_starts] = True
+        doc_start_mask[t_starts_tok] = True
         doc_start_idx = np.flatnonzero(doc_start_mask)
+        posting_ends = np.concatenate((doc_start_idx[1:], [len(docs_s)]))
+        udocs = docs_s[doc_start_idx]
+        tfs = (posting_ends - doc_start_idx).astype(np.int64)
+        u_dls = dls_s[doc_start_idx]
+        term_of_posting = codes_s[doc_start_idx]
+        tp_change = np.flatnonzero(np.diff(term_of_posting)) + 1
+        term_starts_p = np.concatenate(([0], tp_change))
         with_positions = aname != "keyword"
-        for ti in range(len(t_starts)):
-            s, e = int(t_starts[ti]), int(t_ends[ti])
-            dstarts = doc_start_idx[
-                np.searchsorted(doc_start_idx, s) : np.searchsorted(
-                    doc_start_idx, e
-                )
-            ]
-            dends = np.concatenate((dstarts[1:], [e]))
-            u_docs = docs_s[dstarts]
-            tfs = (dends - dstarts).astype(np.int64)
-            u_dls = dls_s[dstarts]
-            row = encode_posting_list_flat(
-                u_docs,
-                tfs,
-                pos_s[s:e] if with_positions else None,
-                u_dls,
-            )
+        encoded = encode_segment_terms(
+            udocs,
+            tfs,
+            u_dls,
+            term_starts_p,
+            pos_s if with_positions else None,
+        )
+        term_ids = term_of_posting[term_starts_p]
+        for ti, (dbin, tbin, pbin, lbin, metas, df) in enumerate(encoded):
             out_rows.append(
                 (
                     seg_id,
                     field,
-                    str(uniques[ti]),
-                    int(row["df"]),
-                    row["doc_bin"],
-                    row["tf_bin"],
-                    row["pos_bin"],
-                    row["dl_bin"],
-                    _bm_tuples(row["block_meta"]),
+                    str(uniques[term_ids[ti]]),
+                    int(df),
+                    dbin,
+                    tbin,
+                    pbin,
+                    lbin,
+                    metas,
                 )
             )
     return pd.DataFrame(
@@ -297,7 +306,10 @@ def _concat_stage(df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def merge_segments(
-    segments: DataFrame, salt_buckets: int = 8, seg_per_bucket: int | None = None
+    segments: DataFrame,
+    salt_buckets: int = 8,
+    seg_per_bucket: int | None = None,
+    n_segments: int | None = None,
 ) -> DataFrame:
     """Hierarchical salted merge -> global (field, term) rows.
 
@@ -308,8 +320,9 @@ def merge_segments(
     appears in EVERY segment, and without salting its entire posting list
     would funnel through one task (skew handling required by north_rule).
     """
-    max_seg = segments.agg(F.max("seg_id")).collect()[0][0] or 0
-    n_segments = max_seg + 1
+    if n_segments is None:
+        max_seg = segments.agg(F.max("seg_id")).collect()[0][0] or 0
+        n_segments = max_seg + 1
     if seg_per_bucket is None:
         seg_per_bucket = max(1, (n_segments + salt_buckets - 1) // salt_buckets)
 
@@ -460,7 +473,16 @@ class SegmentIndexBuilder:
         if "merged" not in self._done():
             t0 = time.time()
             segs = spark.read.parquet(seg_dir)
-            merged = merge_segments(segs, self.salt_buckets)
+            done_m = self._done()
+            n_docs_known = done_m.get("docs", {}).get("rows", -1)
+            n_segments = (
+                (int(n_docs_known) + self.seg_size - 1) // self.seg_size
+                if n_docs_known and n_docs_known > 0
+                else None
+            )
+            merged = merge_segments(
+                segs, self.salt_buckets, n_segments=n_segments
+            )
             (
                 merged.repartitionByRange(
                     max(1, spark.sparkContext.defaultParallelism // 2),

@@ -1,0 +1,80 @@
+"""Structured Streaming ingestion -> incremental index maintenance.
+
+The reference has no streaming surface; its closest analog is incremental
+``add_document`` + background geometric merging (SURVEY §2.5) — i.e. LSM
+maintenance. Spark-first mapping: a streaming source feeds
+``foreachBatch``; every micro-batch becomes a fresh set of doc-range
+segments via FerretIndex.add_documents (global stats refreshed per batch),
+and an optional merge policy compacts once enough batches accumulate
+(iw_maybe_merge_segments analog, c/src/index.c:6280-6309).
+
+Exactly-once notes: foreachBatch + the manifest give at-least-once adds;
+re-adding a batch after a checkpoint replay would duplicate ids, so the
+sink records the last committed batch_id in the index manifest and skips
+replays (idempotent per batch_id).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ferret_spark.ind import FerretIndex
+
+
+class StreamingIndexSink:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        field_config: dict[str, str],
+        id_cols=None,
+        seg_size: int = 4096,
+        optimize_every: int | None = None,
+    ):
+        self.spark = spark
+        self.index = FerretIndex(
+            spark, index_path, field_config, seg_size=seg_size
+        )
+        self.id_cols = id_cols
+        self.optimize_every = optimize_every
+        self._state_path = os.path.join(index_path, "stream_state.json")
+
+    def _last_batch(self) -> int:
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                return json.load(f)["last_batch_id"]
+        return -1
+
+    def _commit_batch(self, batch_id: int, n_batches: int):
+        with open(self._state_path, "w") as f:
+            json.dump({"last_batch_id": batch_id, "n_batches": n_batches}, f)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int):
+        if batch_id <= self._last_batch():
+            return  # checkpoint replay — already committed (idempotence)
+        if batch_df.isEmpty():
+            return
+        self.index.add_documents(batch_df, id_cols=self.id_cols)
+        n_batches = 1
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                n_batches = json.load(f).get("n_batches", 0) + 1
+        self._commit_batch(batch_id, n_batches)
+        if self.optimize_every and n_batches % self.optimize_every == 0:
+            self.index.optimize()
+
+    def start(self, stream_df: DataFrame, checkpoint: str, **trigger_kw):
+        """Attach to a streaming DataFrame. Defaults to availableNow (drain
+        the source then stop) — pass e.g. processingTime='30 seconds' for a
+        continuous run."""
+        if not trigger_kw:
+            trigger_kw = {"availableNow": True}
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**trigger_kw)
+            .start()
+        )

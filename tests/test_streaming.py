@@ -1,0 +1,79 @@
+"""Streaming ingestion: micro-batches -> incremental segments, replay
+idempotence, search correctness over the accumulated index."""
+
+import pytest
+
+from ferret_spark.query import TermQuery
+from ferret_spark.streaming import StreamingIndexSink
+
+
+@pytest.fixture()
+def staged_source(spark, tmp_path):
+    """Two parquet files staged into a source dir -> two micro-batches
+    (maxFilesPerTrigger=1)."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows1 = [
+        {"repo": "r1", "path": "a.py", "commit": "c1", "content": "alpha beta"},
+        {"repo": "r1", "path": "b.py", "commit": "c2", "content": "beta gamma"},
+    ]
+    rows2 = [
+        {"repo": "r2", "path": "c.py", "commit": "c3", "content": "gamma delta"},
+        {"repo": "r2", "path": "d.py", "commit": "c4", "content": "alpha delta"},
+    ]
+    spark.createDataFrame(rows1).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(rows2).coalesce(1).write.parquet(str(src / "f2"))
+    return src
+
+
+def test_stream_ingest_and_search(spark, tmp_path, staged_source):
+    schema = "repo string, path string, commit string, content string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(staged_source))
+    )
+    sink = StreamingIndexSink(
+        spark,
+        str(tmp_path / "sidx"),
+        {"content": "whitespace"},
+        id_cols=("repo", "path", "commit"),
+        seg_size=2,
+    )
+    q = sink.start(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert sink.index.size() == 4
+    hits = {
+        r["doc_id"]
+        for r in sink.index.search(
+            TermQuery(field="content", term="alpha"), k=None
+        ).collect()
+    }
+    assert len(hits) == 2
+    # global df accumulated across batches
+    dfs = sink.index.index.doc_freqs(
+        [("content", "alpha"), ("content", "gamma")]
+    )
+    assert dfs[("content", "alpha")] == 2
+    assert dfs[("content", "gamma")] == 2
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path, staged_source):
+    sink = StreamingIndexSink(
+        spark,
+        str(tmp_path / "sidx2"),
+        {"content": "whitespace"},
+        id_cols=("repo", "path", "commit"),
+        seg_size=2,
+    )
+    batch = spark.createDataFrame(
+        [{"repo": "r", "path": "p", "commit": "c", "content": "solo doc"}]
+    )
+    sink.process_batch(batch, 0)
+    assert sink.index.size() == 1
+    sink.process_batch(batch, 0)  # replayed batch id -> skipped
+    assert sink.index.size() == 1
+    sink.process_batch(batch, 1)  # genuinely new batch -> added
+    assert sink.index.size() == 2
