@@ -351,6 +351,144 @@ def _q_doc_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id").limit(100)
 
 
+def _q_sorted_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hits of text:scan ordered by (n_chars asc, doc_id) — sort-by-field."""
+    from ferret_spark.query import TermQuery
+    from ferret_spark.search import plan_scores, spark_rewrite
+
+    idx = _get_index(spark, sf_dir)
+    scores = plan_scores(idx, spark_rewrite(idx, TermQuery(field="text", term="scan")))
+    hits = scores.join(idx.docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        hits.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "doc_id",
+            "n_chars",
+        )
+    )
+
+
+def _q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_unscored: docID-order matches with offset/limit."""
+    from ferret_spark.query import TermQuery
+    from ferret_spark.search import plan_scores, spark_rewrite
+
+    idx = _get_index(spark, sf_dir)
+    scores = plan_scores(idx, spark_rewrite(idx, TermQuery(field="text", term="scan")))
+    return scores.select("doc_id").orderBy("doc_id").offset(5).limit(10)
+
+
+def _q_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """total_hits + max_score for one term query."""
+    from ferret_spark.query import TermQuery
+    from ferret_spark.search import plan_scores, spark_rewrite
+
+    idx = _get_index(spark, sf_dir)
+    scores = plan_scores(idx, spark_rewrite(idx, TermQuery(field="text", term="scan")))
+    return scores.agg(
+        F.count("*").alias("total_hits"),
+        F.round(F.max("score"), 4).alias("max_score"),
+    )
+
+
+def _q_fql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FQL string end-to-end: parse -> plan -> rank."""
+    from ferret_spark.parser import QueryParser
+
+    idx = _get_index(spark, sf_dir)
+    p = QueryParser(
+        default_field="text",
+        fields=["text", "lang", "source"],
+        tokenized_fields=["text"],
+        analyzer="whitespace",
+    )
+    q = p.parse('scan AND join "table hash"')
+    return _topk(idx, q)
+
+
+def _sql_sorted_nchars() -> str:
+    return (
+        _PRELUDE
+        + """
+, hits AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'scan')
+SELECT row_number() OVER (ORDER BY d.n_chars ASC, d.doc_id ASC)::BIGINT AS rank,
+       d.doc_id, d.n_chars
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY rank LIMIT 10
+"""
+    )
+
+
+def _sql_scan() -> str:
+    return (
+        _PRELUDE
+        + """
+SELECT DISTINCT doc_id FROM tok2 WHERE term = 'scan'
+ORDER BY doc_id LIMIT 10 OFFSET 5
+"""
+    )
+
+
+def _sql_count_stats() -> str:
+    idf = _IDF.format(n="st.n", df="ts.df::DOUBLE")
+    tfp = _TFP.format(tf="p.tf", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT p.doc_id, {idf} * {tfp} AS s
+  FROM p JOIN tstat ts ON ts.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  WHERE p.term = 'scan'
+)
+SELECT count(*) AS total_hits, round(max(s), 4) AS max_score FROM scored
+"""
+    )
+
+
+def _sql_fql(k: int = K) -> str:
+    """'scan AND join "table hash"' = +scan +join SHOULD-phrase:
+    candidates = docs with scan AND join; score = scan + join + phrase?0."""
+    idf = _IDF.format(n="st.n", df="ts.df::DOUBLE")
+    tfp = _TFP.format(tf="p.tf", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    leaf = f"""
+  SELECT p.doc_id, {idf} * {tfp} AS s
+  FROM p JOIN tstat ts ON ts.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  WHERE p.term = '{{t}}'"""
+    idf1 = _IDF.format(n="st.n", df="(SELECT df FROM tstat WHERE term='{t}')::DOUBLE")
+    ph_tfp = _TFP.format(tf="ph.freq", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    return (
+        _PRELUDE
+        + f""",
+s1 AS ({leaf.format(t='scan')}),
+s2 AS ({leaf.format(t='join')}),
+ph AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS freq
+  FROM tok2 a JOIN tok2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'hash'
+  GROUP BY a.doc_id
+),
+idfs AS (
+  SELECT ({idf1.format(t='table')}) + ({idf1.format(t='hash')}) AS idf_sum
+  FROM st
+),
+phs AS (
+  SELECT ph.doc_id, idfs.idf_sum * {ph_tfp} AS s
+  FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN idfs
+),
+scored AS (
+  SELECT s1.doc_id, s1.s + s2.s + coalesce(phs.s, 0.0) AS s
+  FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id
+  LEFT JOIN phs ON phs.doc_id = s1.doc_id
+)"""
+        + _RANKED.format(k=k)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 boolean+phrase search over sf0.001 documents."""
     from ferret_spark.query import MUST, SHOULD, BooleanQuery, PhraseQuery, TermQuery
@@ -562,6 +700,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prefix": _q_prefix("sc"),
         "ft_wildcard": _q_wildcard("s?an"),
         "ft_fuzzy": _q_fuzzy("sprak", 0.5),
+        "ft_sorted_nchars": _q_sorted_nchars,
+        "ft_scan": _q_scan,
+        "ft_count_stats": _q_count_stats,
+        "ft_fql": _q_fql,
         "ft_term_stats": _q_term_stats,
         "ft_corpus_stats": _q_corpus_stats,
         "ft_range_nchars": _q_range_nchars,
@@ -599,6 +741,10 @@ def oracle_sql() -> dict[str, str]:
                 "least(length(p.term), length('sprak'))::DOUBLE"
             ),
         ),
+        "ft_sorted_nchars": _sql_sorted_nchars(),
+        "ft_scan": _sql_scan(),
+        "ft_count_stats": _sql_count_stats(),
+        "ft_fql": _sql_fql(),
         "ft_term_stats": _PRELUDE
         + """
 SELECT term, df, ttf FROM tstat ORDER BY df DESC, term ASC LIMIT 20
