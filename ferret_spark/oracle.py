@@ -139,7 +139,41 @@ class OracleIndex:
             return self._score_boolean(q)
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q)
+        from ferret_spark.spans import is_span
+
+        if is_span(q):
+            return self._score_span(q)
         raise TypeError(f"unsupported query {type(q).__name__}")
+
+    def _score_span(self, q) -> dict[int, float]:
+        from ferret_spark.spans import scoring_terms, span_field, span_freq
+
+        field = span_field(q)
+        fp = self.postings.get(field, {})
+        term_dict = sorted(fp.keys())
+        terms = sorted(set(scoring_terms(q, term_dict)))
+        idf_sum = 0.0
+        cand: set[int] = set()
+        pos_by_doc: dict[int, dict[str, list[int]]] = {}
+        for t in terms:
+            plist = fp.get(t)
+            if not plist:
+                continue
+            idf_sum += bm25_idf(len(plist), self.n_docs)
+            for d, _tf, positions in plist:
+                cand.add(d)
+                pos_by_doc.setdefault(d, {})[t] = positions
+        lens = self.doc_len[field]
+        avgdl = self.avgdl[field]
+        out: dict[int, float] = {}
+        for d in cand:
+            pmap = pos_by_doc.get(d, {})
+            freq = span_freq(q, lambda t: pmap.get(t, []), term_dict)
+            if freq > 0.0:
+                out[d] = (
+                    q.boost * idf_sum * bm25_tf(freq, lens[d], avgdl)
+                )
+        return out
 
     def _range_docs(self, q: RangeQuery) -> list[int]:
         vals = self.values.get(q.field, [])

@@ -63,9 +63,56 @@ def _bm25_tf_np(tf, dl, avgdl: float):
 
 
 def wand_rewrite(index, q: Query) -> Query:
-    """spark_rewrite + RangeQuery -> ConstantScoreTerms via term-dict scan."""
+    """spark_rewrite + RangeQuery -> ConstantScoreTerms via term-dict scan
+    + SpanPrefix -> SpanMultiTerm expansion."""
+    from ferret_spark.spans import is_span
+
+    if is_span(q):
+        return _expand_span(index, q)
     q = spark_rewrite(index, q)
     return _range_to_const(index, q)
+
+
+def _expand_span(index, q):
+    import dataclasses
+
+    from ferret_spark.spans import (
+        SpanFirstQuery,
+        SpanMultiTermQuery,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanPrefixQuery,
+    )
+
+    if isinstance(q, SpanPrefixQuery):
+        rows = (
+            index.term_stats.where(
+                (F.col("field") == q.field)
+                & F.col("term").startswith(q.prefix)
+            )
+            .select("term")
+            .collect()
+        )
+        terms = sorted(r["term"] for r in rows)[: q.max_terms]
+        return SpanMultiTermQuery(boost=q.boost, field=q.field, terms=tuple(terms))
+    if isinstance(q, SpanFirstQuery):
+        return dataclasses.replace(q, match=_expand_span(index, q.match))
+    if isinstance(q, SpanOrQuery):
+        return dataclasses.replace(
+            q, clauses=tuple(_expand_span(index, c) for c in q.clauses)
+        )
+    if isinstance(q, SpanNotQuery):
+        return dataclasses.replace(
+            q,
+            inc=_expand_span(index, q.inc),
+            exc=_expand_span(index, q.exc),
+        )
+    if isinstance(q, SpanNearQuery):
+        return dataclasses.replace(
+            q, clauses=tuple(_expand_span(index, c) for c in q.clauses)
+        )
+    return q
 
 
 def _range_to_const(index, q: Query) -> Query:
@@ -113,6 +160,10 @@ def _range_to_const(index, q: Query) -> Query:
 
 
 def _collect_terms(q: Query) -> list[tuple[str, str]]:
+    from ferret_spark.spans import is_span, span_field, span_terms
+
+    if is_span(q):
+        return [(span_field(q), t) for t in span_terms(q)]
     if isinstance(q, TermQuery):
         return [(q.field, q.term)]
     if isinstance(q, (MultiTermQuery, ConstantScoreTerms)):
@@ -181,6 +232,10 @@ class _SegEval:
             return self._eval_bool(q)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q)
+        from ferret_spark.spans import is_span
+
+        if is_span(q):
+            return self._eval_span(q)
         if isinstance(q, MatchAllQuery):
             mask = np.zeros(self.seg_n, dtype=bool)
             for lo, hi in self.id_ranges:
@@ -261,6 +316,37 @@ class _SegEval:
         out = np.zeros(self.seg_n, dtype=np.float64)
         out[mask] = q.boost * total[mask]
         return mask, out
+
+    def _eval_span(self, q):
+        from ferret_spark.oracle import bm25_tf
+        from ferret_spark.spans import scoring_terms, span_field, span_freq
+
+        mask, score = self._zero()
+        field = span_field(q)
+        terms = sorted(set(scoring_terms(q)))  # already expanded driver-side
+        idf_sum = 0.0
+        pos_by_doc: dict[int, dict[str, list]] = {}
+        dl_by_doc: dict[int, int] = {}
+        for t in terms:
+            df = self.dfs.get((field, t), 0)
+            if df > 0:
+                idf_sum += bm25_idf(df, self.n_docs)
+            dec = self.decoded(field, t, with_positions=True)
+            if dec is None:
+                continue
+            local, tfs, pos, dls = dec
+            for i, d in enumerate(local):
+                pos_by_doc.setdefault(int(d), {})[t] = [int(p) for p in pos[i]]
+                dl_by_doc[int(d)] = int(dls[i])
+        avgdl = self.avgdl[field]
+        for d, pmap in pos_by_doc.items():
+            freq = span_freq(q, lambda t: pmap.get(t, []))
+            if freq > 0.0:
+                mask[d] = True
+                score[d] = (
+                    q.boost * idf_sum * bm25_tf(freq, dl_by_doc[d], avgdl)
+                )
+        return mask, score
 
     def _eval_phrase(self, q: PhraseQuery):
         mask, score = self._zero()
