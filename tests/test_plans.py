@@ -1,0 +1,66 @@
+"""Physical-plan regression guards: the properties that make the engine
+scale must be visible in the executed plan (predicate pushdown to parquet,
+column pruning, broadcast of tiny dims) — not just fast today by accident."""
+
+import pytest
+
+from ferret_spark.fixtures import golden_rows
+from ferret_spark.index import SparkIndex
+from ferret_spark.query import TermQuery
+
+
+@pytest.fixture(scope="module")
+def saved_idx(spark, tmp_path_factory):
+    rows = [dict(r, doc_id=i) for i, r in enumerate(golden_rows())]
+    corpus = spark.createDataFrame(rows)
+    idx = SparkIndex.build(
+        spark, corpus, {"content": "whitespace"}, doc_id_col="doc_id"
+    )
+    path = str(tmp_path_factory.mktemp("plan_idx"))
+    idx.save(path)
+    return SparkIndex.load(spark, path)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_term_filter_pushed_to_parquet_scan(saved_idx):
+    df = saved_idx.search(TermQuery(field="content", term="word2"), k=10)
+    plan = _executed_plan(df)
+    # the term predicate must reach the FileScan (rowgroup pruning = the
+    # .tii term-dict tier analog)
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("term" in l and "PushedFilters" in plan for l in scan_lines)
+    assert "EqualTo(term,word2)" in plan or "(term = word2)" in plan or (
+        "term" in plan and "word2" in plan
+    )
+
+
+def test_term_query_prunes_positions_column(saved_idx):
+    # a term query never reads the positions column
+    df = saved_idx.search(TermQuery(field="content", term="word2"), k=10)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "positions" not in line, line
+
+
+def test_topk_uses_take_ordered(saved_idx):
+    df = saved_idx.search(TermQuery(field="content", term="word1"), k=5)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_segment_scan_pushdown(spark, tmp_path_factory):
+    from ferret_spark.segments import SegmentIndexBuilder
+
+    rows = [dict(r, doc_id=i) for i, r in enumerate(golden_rows())]
+    path = str(tmp_path_factory.mktemp("plan_seg"))
+    sidx = SegmentIndexBuilder(
+        spark, path, {"content": "whitespace"}, seg_size=6
+    ).build(spark.createDataFrame(rows), doc_id_col="doc_id")
+    df = sidx.search(TermQuery(field="content", term="word2"), k=10)
+    plan = _executed_plan(df)
+    assert "PushedFilters" in plan
+    assert "word2" in plan
