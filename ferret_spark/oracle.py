@@ -59,9 +59,19 @@ class OracleIndex:
     untokenized fields (FRT_INDEX_UNTOKENIZED, c/include/index.h:73-96).
     """
 
-    def __init__(self, rows: list[dict], field_config: dict[str, str]):
+    def __init__(
+        self,
+        rows: list[dict],
+        field_config: dict[str, str],
+        similarity: str = "bm25",
+        boost_col: str | None = None,
+    ):
         self.n_docs = len(rows)
         self.field_config = field_config
+        self.similarity = similarity
+        self.doc_boosts = [
+            float(r.get(boost_col, 1.0)) if boost_col else 1.0 for r in rows
+        ]
         # field -> term -> list[(doc_id, tf, positions)]
         self.postings: dict[str, dict[str, list]] = defaultdict(dict)
         self.doc_len: dict[str, list[int]] = {}
@@ -279,11 +289,152 @@ class OracleIndex:
                 out[d] = q.boost * idf_sum * bm25_tf(freq, lens[d], avgdl)
         return out
 
+    # -- classic TF-IDF similarity (reference default) -----------------------
+    def _norm(self, field: str, d: int) -> float:
+        from ferret_spark.similarity import NORM_TABLE, encode_norm
+
+        return NORM_TABLE[
+            encode_norm(1.0, self.doc_boosts[d], self.doc_len[field][d])
+        ]
+
+    def _phrase_freqs(self, q: PhraseQuery) -> tuple[dict[int, float], float, dict]:
+        """(doc -> phrase_freq, idf_sum_bm25-unused, slot machinery reused).
+        Returns freq map plus per-doc dl lookup is via self.doc_len."""
+        field = q.field
+        slot_maps: list[dict[int, list[int]]] = []
+        for _, alts in q.positions:
+            m: dict[int, list[int]] = defaultdict(list)
+            for t in alts:
+                plist = self.postings.get(field, {}).get(t)
+                if not plist:
+                    continue
+                for d, _tf, positions in plist:
+                    m[d].extend(positions)
+            slot_maps.append({d: sorted(ps) for d, ps in m.items()})
+        if not slot_maps or any(not m for m in slot_maps):
+            return {}, 0.0, {}
+        if len(q.positions) == 1:
+            return (
+                {d: float(len(ps)) for d, ps in slot_maps[0].items()},
+                0.0,
+                {},
+            )
+        cand = set(slot_maps[0].keys())
+        for m in slot_maps[1:]:
+            cand &= m.keys()
+        offsets = [off for off, _ in q.positions]
+        repeats = _has_repeats(q)
+        freqs: dict[int, float] = {}
+        for d in cand:
+            adjusted = [
+                [p - off for p in slot_maps[i][d]] for i, off in enumerate(offsets)
+            ]
+            if q.slop == 0:
+                f = float(len(set(adjusted[0]).intersection(*adjusted[1:])))
+            else:
+                f = sloppy_phrase_freq(adjusted, offsets, q.slop, repeats)
+            if f > 0.0:
+                freqs[d] = f
+        return freqs, 0.0, {}
+
+    def _score_tfidf(self, q: Query) -> dict[int, float]:
+        from ferret_spark import similarity as S
+
+        dfs = {
+            (f, t): len(pl)
+            for f, ps in self.postings.items()
+            for t, pl in ps.items()
+        }
+        qnorm = S.query_norm(
+            S.sum_sq_weights(q, dfs, self.n_docs, None)
+        )
+        return self._tfidf_node(q, dfs, qnorm, 1.0)
+
+    def _tfidf_node(self, q: Query, dfs, qnorm: float, anc: float):
+        from ferret_spark import similarity as S
+
+        b = anc * q.boost
+        if isinstance(q, TermQuery):
+            plist = self.postings.get(q.field, {}).get(q.term)
+            if not plist:
+                return {}
+            i = S.idf(dfs.get((q.field, q.term), 0), self.n_docs)
+            val = i * i * b * qnorm
+            return {
+                d: S.tf(tf_) * val * self._norm(q.field, d)
+                for d, tf_, _ in plist
+            }
+        if isinstance(q, MultiTermQuery):
+            out: dict[int, float] = defaultdict(float)
+            for t, tb in sorted(q.terms):
+                plist = self.postings.get(q.field, {}).get(t)
+                if not plist:
+                    continue
+                i = S.idf(dfs.get((q.field, t), 0), self.n_docs)
+                val = i * i * tb * b * qnorm
+                for d, tf_, _ in plist:
+                    out[d] += S.tf(tf_) * val * self._norm(q.field, d)
+            return dict(out)
+        if isinstance(q, PhraseQuery):
+            freqs, _, _ = self._phrase_freqs(q)
+            idf_sum = 0.0
+            for _, alts in q.positions:
+                for t in alts:
+                    idf_sum += S.idf(dfs.get((q.field, t), 0), self.n_docs)
+            val = idf_sum * idf_sum * b * qnorm
+            return {
+                d: S.tf(f) * val * self._norm(q.field, d)
+                for d, f in freqs.items()
+            }
+        if isinstance(q, MatchAllQuery):
+            val = 1.0 * b * qnorm
+            return {d: val for d in range(self.n_docs)}
+        if isinstance(q, RangeQuery):
+            val = 1.0 * b * qnorm
+            return {d: val for d in self._range_docs(q)}
+        if isinstance(q, BooleanQuery):
+            musts = [c.query for c in q.clauses if c.occur == MUST]
+            shoulds = [c.query for c in q.clauses if c.occur == SHOULD]
+            nots = [c.query for c in q.clauses if c.occur == MUST_NOT]
+            mscores = [self._tfidf_node(m, dfs, qnorm, b) for m in musts]
+            sscores = [self._tfidf_node(s, dfs, qnorm, b) for s in shoulds]
+            not_docs: set[int] = set()
+            for nq in nots:
+                not_docs |= set(self._tfidf_node(nq, dfs, qnorm, b).keys())
+            if musts:
+                cand = set(mscores[0].keys())
+                for ms in mscores[1:]:
+                    cand &= ms.keys()
+            else:
+                cand = set()
+                for ss in sscores:
+                    cand |= ss.keys()
+            cand -= not_docs
+            max_overlap = len(musts) + len(shoulds)
+            out = {}
+            for d in cand:
+                s = 0.0
+                matches = 0
+                for ms in mscores:
+                    s += ms[d]
+                    matches += 1
+                for ss in sscores:
+                    if d in ss:
+                        s += ss[d]
+                        matches += 1
+                out[d] = s * (matches / max_overlap)
+            return out
+        raise TypeError(type(q).__name__)
+
     # -- public API ---------------------------------------------------------
     def search(self, q: Query, k: int = 10, offset: int = 0):
         """Top-k [(doc_id, float32 score)] — score desc, doc_id asc."""
         q = rewrite(q, self.term_dict())
-        scores = self._score(q)
+        scores = (
+            self._score_tfidf(q)
+            if self.similarity == "tfidf"
+            else self._score(q)
+        )
         hits = sorted(
             ((d, np.float32(s)) for d, s in scores.items()),
             key=lambda ds: (-ds[1], ds[0]),
@@ -292,6 +443,8 @@ class OracleIndex:
 
     def hits(self, q: Query) -> set[int]:
         q = rewrite(q, self.term_dict())
+        if self.similarity == "tfidf":
+            return set(self._score_tfidf(q).keys())
         return set(self._score(q).keys())
 
     def count(self, q: Query) -> int:

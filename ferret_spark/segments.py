@@ -576,10 +576,26 @@ class SegmentIndex:
         got = {(r["field"], r["term"]): r["df"] for r in rows}
         return {p: got.get(p, 0) for p in pairs}
 
-    def search(self, q, k: int = 10, offset: int = 0, prune: bool = True):
+    def search(
+        self,
+        q,
+        k: int = 10,
+        offset: int = 0,
+        prune: bool = True,
+        similarity: str = "bm25",
+        doc_boosts: dict[int, float] | None = None,
+    ):
         from ferret_spark.wand import segment_search
 
-        return segment_search(self, q, k=k, offset=offset, prune=prune)
+        return segment_search(
+            self,
+            q,
+            k=k,
+            offset=offset,
+            prune=prune,
+            similarity=similarity,
+            doc_boosts=doc_boosts,
+        )
 
     def query(self, fql: str, k: int = 10, offset: int = 0, **parser_kw):
         """Parse an FQL string (Ferret Query Language) and search."""

@@ -440,6 +440,181 @@ def _phrase_repeats(q: PhraseQuery) -> bool:
     return False
 
 
+class _SegEvalTFIDF(_SegEval):
+    """Classic TF-IDF scoring (reference default similarity) over a
+    segment — mirrors OracleIndex._tfidf_node float-for-float. qnorm is the
+    driver-computed query norm; doc_boosts maps global doc_id -> boost."""
+
+    def __init__(self, *args, qnorm: float = 1.0, doc_boosts=None, **kw):
+        super().__init__(*args, **kw)
+        self.qnorm = qnorm
+        self.doc_boosts = doc_boosts or {}
+
+    def _norms(self, local, dls):
+        from ferret_spark.similarity import NORM_TABLE, encode_norm
+
+        out = np.empty(len(local), dtype=np.float64)
+        for i in range(len(local)):
+            b = self.doc_boosts.get(int(local[i]) + self.base, 1.0)
+            out[i] = NORM_TABLE[encode_norm(1.0, b, int(dls[i]))]
+        return out
+
+    def eval(self, q: Query, anc: float = 1.0):
+        from ferret_spark import similarity as S
+
+        b = anc * q.boost
+        mask, score = self._zero()
+        if isinstance(q, TermQuery):
+            dec = self.decoded(q.field, q.term)
+            if dec is None:
+                return mask, score
+            local, tfs, _, dls = dec
+            i = S.idf(self.dfs.get((q.field, q.term), 0), self.n_docs)
+            val = i * i * b * self.qnorm
+            score[local] = np.sqrt(tfs.astype(np.float64)) * val * self._norms(
+                local, dls
+            )
+            mask[local] = True
+            return mask, score
+        if isinstance(q, MultiTermQuery):
+            for t, tb in sorted(q.terms):
+                dec = self.decoded(q.field, t)
+                if dec is None:
+                    continue
+                local, tfs, _, dls = dec
+                i = S.idf(self.dfs.get((q.field, t), 0), self.n_docs)
+                val = i * i * tb * b * self.qnorm
+                score[local] += np.sqrt(
+                    tfs.astype(np.float64)
+                ) * val * self._norms(local, dls)
+                mask[local] = True
+            return mask, score
+        if isinstance(q, ConstantScoreTerms):
+            for t in q.terms:
+                dec = self.decoded(q.field, t)
+                if dec is not None:
+                    mask[dec[0]] = True
+            score[mask] = 1.0 * b * self.qnorm
+            return mask, score
+        if isinstance(q, MatchAllQuery):
+            for lo, hi in self.id_ranges:
+                a = max(lo, self.base) - self.base
+                z = min(hi, self.base + self.seg_n) - self.base
+                if z > a:
+                    mask[a:z] = True
+            score[mask] = 1.0 * b * self.qnorm
+            return mask, score
+        if isinstance(q, PhraseQuery):
+            return self._eval_phrase_tfidf(q, b)
+        if isinstance(q, BooleanQuery):
+            musts = [c.query for c in q.clauses if c.occur == MUST]
+            shoulds = [c.query for c in q.clauses if c.occur == SHOULD]
+            nots = [c.query for c in q.clauses if c.occur == MUST_NOT]
+            total = np.zeros(self.seg_n, dtype=np.float64)
+            matches = np.zeros(self.seg_n, dtype=np.int64)
+            if musts:
+                mask = np.ones(self.seg_n, dtype=bool)
+                for m in musts:
+                    mm, ms = self.eval(m, b)
+                    mask &= mm
+                    total += ms
+                    matches += mm
+                for s in shoulds:
+                    sm, ss = self.eval(s, b)
+                    total += ss
+                    matches += sm
+            else:
+                if not shoulds:
+                    return self._zero()
+                mask = np.zeros(self.seg_n, dtype=bool)
+                for s in shoulds:
+                    sm, ss = self.eval(s, b)
+                    mask |= sm
+                    total += ss
+                    matches += sm
+            for n_ in nots:
+                nm, _ = self.eval(n_, b)
+                mask &= ~nm
+            max_overlap = len(musts) + len(shoulds)
+            out = np.zeros(self.seg_n, dtype=np.float64)
+            sel = np.flatnonzero(mask)
+            out[sel] = total[sel] * (matches[sel] / max_overlap)
+            return mask, out
+        raise TypeError(f"tfidf mode: unsupported {type(q).__name__}")
+
+    def _eval_phrase_tfidf(self, q: PhraseQuery, b: float):
+        from ferret_spark import similarity as S
+
+        mask, score = self._zero()
+        if not q.positions:
+            return mask, score
+        field = q.field
+        idf_sum = 0.0
+        for _, alts in q.positions:
+            for t in alts:
+                idf_sum += S.idf(self.dfs.get((field, t), 0), self.n_docs)
+        val = idf_sum * idf_sum * b * self.qnorm
+        freqs, dl_by_doc = self._phrase_freqs_local(q)
+        for d, f in freqs.items():
+            boost_d = self.doc_boosts.get(int(d) + self.base, 1.0)
+            from ferret_spark.similarity import NORM_TABLE, encode_norm
+
+            norm = NORM_TABLE[encode_norm(1.0, boost_d, dl_by_doc[d])]
+            mask[d] = True
+            score[d] = S.tf(f) * val * norm
+        return mask, score
+
+    def _phrase_freqs_local(self, q: PhraseQuery):
+        """doc(local) -> phrase_freq, plus dl map (mirrors oracle)."""
+        field = q.field
+        slot_pos: list[dict[int, np.ndarray]] = []
+        dls_map: dict[int, int] = {}
+        for off, alts in q.positions:
+            m: dict[int, list] = {}
+            for t in alts:
+                dec = self.decoded(field, t, with_positions=True)
+                if dec is None:
+                    continue
+                local, tfs, pos, dls = dec
+                for i, d in enumerate(local):
+                    m.setdefault(int(d), []).append(pos[i])
+                    dls_map[int(d)] = int(dls[i])
+            if not m:
+                return {}, {}
+            slot_pos.append(
+                {
+                    d: (np.sort(np.concatenate(ls)) if len(ls) > 1 else ls[0])
+                    for d, ls in m.items()
+                }
+            )
+        if len(q.positions) == 1:
+            return (
+                {d: float(len(ps)) for d, ps in slot_pos[0].items()},
+                dls_map,
+            )
+        cand = set(slot_pos[0].keys())
+        for m in slot_pos[1:]:
+            cand &= m.keys()
+        offsets = [off for off, _ in q.positions]
+        repeats = _phrase_repeats(q)
+        freqs = {}
+        for d in sorted(cand):
+            adjusted = [
+                [int(p) - offsets[i] for p in slot_pos[i][d]]
+                for i in range(len(offsets))
+            ]
+            if q.slop == 0:
+                s = set(adjusted[0])
+                for a in adjusted[1:]:
+                    s &= set(a)
+                f = float(len(s))
+            else:
+                f = sloppy_phrase_freq(adjusted, offsets, q.slop, repeats)
+            if f > 0.0:
+                freqs[d] = f
+        return freqs, dls_map
+
+
 # ---------------------------------------------------------------------------
 # block-max WAND for top-level disjunctions
 
@@ -545,6 +720,8 @@ def segment_search(
     offset: int = 0,
     prune: bool = True,
     deleted: set[int] | None = None,
+    similarity: str = "bm25",
+    doc_boosts: dict[int, float] | None = None,
 ) -> DataFrame:
     rq = wand_rewrite(index, q)
     pairs = sorted(set(_collect_terms(rq)))
@@ -595,10 +772,17 @@ def segment_search(
     # np.add.at per term vs per-interval × per-term slicing)
     use_wand = (
         prune
+        and similarity == "bm25"
         and local_k is not None
         and isinstance(rq, MultiTermQuery)
         and len(rq.terms) <= 32
     )
+    qnorm = 1.0
+    if similarity == "tfidf":
+        from ferret_spark import similarity as S
+
+        qnorm = S.query_norm(S.sum_sq_weights(rq, dfs, n_docs, None))
+    doc_boosts = doc_boosts or {}
     rq_for_exec = rq
 
     deleted = deleted or set()
@@ -631,9 +815,22 @@ def segment_search(
                 ],
                 "df": int(r["df"]),
             }
-        ev = _SegEval(
-            rows_by_ft, dfs, n_docs, avgdl_map, base, seg_n, id_ranges
-        )
+        if similarity == "tfidf":
+            ev = _SegEvalTFIDF(
+                rows_by_ft,
+                dfs,
+                n_docs,
+                avgdl_map,
+                base,
+                seg_n,
+                id_ranges,
+                qnorm=qnorm,
+                doc_boosts=doc_boosts,
+            )
+        else:
+            ev = _SegEval(
+                rows_by_ft, dfs, n_docs, avgdl_map, base, seg_n, id_ranges
+            )
         if use_wand and isinstance(rq_for_exec, MultiTermQuery):
             docs, scores = _wand_multiterm_topk(
                 ev, rq_for_exec, local_k, del_local
