@@ -30,5 +30,14 @@ from ferret_spark.query import (  # noqa: F401
     TermQuery,
     WildcardQuery,
 )
+from ferret_spark.spans import (  # noqa: F401
+    SpanFirstQuery,
+    SpanMultiTermQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanPrefixQuery,
+    SpanTermQuery,
+)
 
 __version__ = "0.1.0"
