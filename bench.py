@@ -29,7 +29,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("FERRET_BENCH_DOCS", "100000"))
+N_DOCS = int(os.environ.get("FERRET_BENCH_DOCS", "60000"))
 SKIP_SCALING = os.environ.get("FERRET_BENCH_SKIP_SCALING", "") == "1"
 FIELD_CONFIG = {"content": "standard_nostop", "lang": "keyword"}
 
@@ -93,7 +93,7 @@ def build_run(cores: int, out_dir: str) -> dict:
     }
 
 
-def query_latency(idx, reps: int = 7) -> dict:
+def query_latency(idx, reps: int = 5) -> dict:
     idx.cache()
     import ferret_spark as fs
 
