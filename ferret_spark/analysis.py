@@ -58,6 +58,7 @@ FULL_ENGLISH_STOP_WORDS = frozenset(
 
 _WS_RE = re.compile(r"\S+")
 _LETTER_RE = re.compile(r"[A-Za-z]+")
+_LETTER_U_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 # StandardTokenizer approximation, ordered alternation mirroring
 # c/src/scanner.in:8-42: URL-ish, email, acronym, hyphen/underscore compound
 # word, number, plain word. Possessive 's is stripped.
@@ -94,6 +95,8 @@ def _tokenize(text: str, kind: str) -> list[str]:
         return _WS_RE.findall(text)
     if kind == "letter":
         return _LETTER_RE.findall(text)
+    if kind == "letter_unicode":
+        return _LETTER_U_RE.findall(text)
     if kind == "standard":
         return [_standard_post(t) for t in _STANDARD_RE.findall(text)]
     raise ValueError(f"unknown tokenizer {kind!r}")
@@ -114,16 +117,32 @@ class Analyzer:
         stop_words: frozenset | None = None,
         hyphens: bool = False,
         name: str | None = None,
+        mappings: dict[str, str] | None = None,
+        stem: bool = False,
     ):
         self.tokenizer = tokenizer
         self.lowercase = lowercase
         self.stop_words = stop_words
         self.hyphens = hyphens
         self.name = name or tokenizer
+        self.stem = stem
+        self.mappings = mappings
+        if mappings:
+            # longest-match-first alternation (the reference's byte-trie
+            # multimapper semantics, c/src/multimapper.c)
+            keys = sorted(mappings, key=len, reverse=True)
+            self._map_re = re.compile("|".join(re.escape(k) for k in keys))
+        else:
+            self._map_re = None
+
+    def _apply_map(self, t: str) -> str:
+        return self._map_re.sub(lambda m: self.mappings[m.group(0)], t)
 
     # -- oracle surface ----------------------------------------------------
     def analyze(self, text: str) -> list[tuple[str, int]]:
         toks = _tokenize(text, self.tokenizer)
+        if self._map_re is not None:
+            toks = [self._apply_map(t) for t in toks]
         if self.lowercase:
             toks = [t.lower() for t in toks]
         out: list[tuple[str, int]] = []
@@ -143,6 +162,10 @@ class Analyzer:
                     pos += len(parts) - 1
                     continue
             out.append((t, pos))
+        if self.stem:
+            from ferret_spark.porter import stem as _stem
+
+            out = [(_stem(t), p) for t, p in out]
         return out
 
     # -- vectorized surface (inside pandas UDFs) ----------------------------
@@ -159,26 +182,37 @@ class Analyzer:
             toks = s.str.findall(_WS_RE)
         elif self.tokenizer == "letter":
             toks = s.str.findall(_LETTER_RE)
+        elif self.tokenizer == "letter_unicode":
+            toks = s.str.findall(_LETTER_U_RE)
         elif self.tokenizer == "standard":
             toks = s.str.findall(_STANDARD_RE)
         else:
             raise ValueError(self.tokenizer)
-        # one fused pass: post-process + lowercase + stop-marking
+        # one fused pass: map + post-process + lowercase + stop + stem
         post = self.tokenizer == "standard"
         lower = self.lowercase
         sw = self.stop_words
+        mapped = self._map_re is not None
+        do_stem = self.stem
+        if do_stem:
+            from ferret_spark.porter import stem as _stem
 
         def fix(ts):
             out = []
             for t in ts:
+                if mapped:
+                    t = self._apply_map(t)
                 if post:
                     t = _standard_post(t)
                 if lower:
                     t = t.lower()
-                out.append(None if (sw is not None and t in sw) else t)
+                if sw is not None and t in sw:
+                    out.append(None)
+                    continue
+                out.append(_stem(t) if do_stem else t)
             return out
 
-        if post or lower or sw is not None:
+        if post or lower or sw is not None or mapped or do_stem:
             toks = toks.map(fix)
         return toks
 
@@ -195,6 +229,8 @@ class Analyzer:
             rx = _WS_RE
         elif self.tokenizer == "letter":
             rx = _LETTER_RE
+        elif self.tokenizer == "letter_unicode":
+            rx = _LETTER_U_RE
         elif self.tokenizer == "standard":
             rx = _STANDARD_RE
         else:
@@ -235,6 +271,16 @@ ANALYZERS: dict[str, Analyzer] = {
         lowercase=True,
         stop_words=ENGLISH_STOP_WORDS,
         name="stop_ws",
+    ),
+    # StemAnalyzer analog (letter + lowercase + Porter)
+    "stem_en": Analyzer("letter", lowercase=True, stem=True, name="stem_en"),
+    # full StandardAnalyzer + stemming
+    "standard_stem": Analyzer(
+        "standard",
+        lowercase=True,
+        stop_words=FULL_ENGLISH_STOP_WORDS,
+        stem=True,
+        name="standard_stem",
     ),
 }
 

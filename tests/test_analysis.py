@@ -99,3 +99,65 @@ def test_stop_filter_pandas_none_slots():
     a = Analyzer("whitespace", lowercase=True, stop_words=ENGLISH_STOP_WORDS)
     arr = a.tokens_pandas(pd.Series(["the quick brown fox"]))[0]
     assert arr == [None, "quick", "brown", "fox"]
+
+
+def test_stem_filter_golden():
+    # tc_token_stream.rb:455-464 — debate variants all stem to "debat"
+    a = Analyzer("letter", lowercase=True, stem=True)
+    got = terms(a.analyze("Debate Debates DEBATED DEBating Debater"))
+    assert got == ["debat"] * 5
+
+
+def test_stem_pandas_matches_python():
+    a = get_analyzer("stem_en")
+    texts = ["Debate Debates DEBATED", "running runner ran", ""]
+    vec = a.tokens_pandas(pd.Series(texts))
+    for text, arr in zip(texts, vec):
+        got = [(t, i) for i, t in enumerate(arr) if t is not None]
+        assert got == a.analyze(text)
+
+
+def test_mapping_filter_golden():
+    # tc_token_stream.rb:376-430 (subset): accent folding incl. the
+    # multi-char 'œ' -> 'oek' longest-match case
+    mapping = {}
+    for ks, v in [
+        ("àáâãäåāă", "a"), ("æ", "ae"), ("ďđ", "d"), ("çćčĉċ", "c"),
+        ("èéêëēęěĕė", "e"), ("œ", "oek"), ("ùúûüūůűŭũų", "u"),
+    ]:
+        for k in ks:
+            mapping[k] = v
+    a = Analyzer("letter_unicode", lowercase=False, mappings=mapping)
+    got = terms(a.analyze("aàáâãäåāăb cæd eďđf gçćčĉċh cœd"))
+    assert got == ["aaaaaaaaab", "caed", "eddf", "gccccch", "coekd"]
+
+
+def test_mapping_pandas_matches_python():
+    a = Analyzer("letter_unicode", lowercase=True, mappings={"é": "e", "œ": "oek"})
+    texts = ["café cœur", "plain"]
+    vec = a.tokens_pandas(pd.Series(texts))
+    for text, arr in zip(texts, vec):
+        got = [(t, i) for i, t in enumerate(arr) if t is not None]
+        assert got == a.analyze(text)
+
+
+def test_stemmed_search_end_to_end():
+    # stemmed index: morphological variants match each other
+    from ferret_spark.oracle import OracleIndex
+    from ferret_spark.query import TermQuery
+
+    rows = [
+        {"content": "the runner was running fast"},
+        {"content": "he runs daily"},
+        {"content": "walking is fine"},
+    ]
+    idx = OracleIndex(rows, {"content": "stem_en"})
+    # query term is analyzed by the same pipeline at parse time; here we
+    # pass the stemmed form directly (parser handles analysis)
+    assert idx.hits(TermQuery(field="content", term="run")) == {0, 1}
+    from ferret_spark.parser import QueryParser
+
+    p = QueryParser(default_field="content", fields=["content"],
+                    tokenized_fields=["content"], analyzer="stem_en")
+    q = p.parse("running")
+    assert idx.hits(q) == {0, 1}
