@@ -88,7 +88,7 @@ def _bm_dicts(block_meta) -> list[dict]:
 
 
 def invert_partition(
-    pdf: pd.DataFrame, field_config: dict[str, str], seg_id: int
+    pdf: pd.DataFrame, field_config: dict, seg_id: int
 ) -> pd.DataFrame:
     """One segment's docs -> encoded posting rows (dw_invert_field analog,
     c/src/index.c:5565-5640). Fully vectorized: tokenize via the pandas
@@ -110,7 +110,10 @@ def invert_partition(
             pos_v = pos_flat[valid]
             dl_flat_v = dls_per_doc[valid]
         else:
-            analyzer = get_analyzer(aname)
+            # aname may be a pre-resolved Analyzer instance (shipped in the
+            # closure so runtime-registered analyzers reach executors) or a
+            # registry name
+            analyzer = aname if hasattr(aname, "tokens_pandas") else get_analyzer(aname)
             tok_lists = analyzer.tokens_pandas(pdf[field].astype(str))
             lens = np.fromiter(
                 (len(t) for t in tok_lists), dtype=np.int64, count=n_rows
@@ -215,7 +218,13 @@ def build_segments(
         "seg_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
     )
 
-    fc = dict(field_config)
+    # resolve analyzer instances DRIVER-side so runtime-registered custom
+    # analyzers are pickled into the task closure (executor workers only
+    # know the stock registry)
+    fc = {
+        f: (a if a == "keyword" else get_analyzer(a) if isinstance(a, str) else a)
+        for f, a in field_config.items()
+    }
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return invert_partition(pdf, fc, int(key[0]))
