@@ -394,6 +394,79 @@ def _q_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEG_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _get_seg_index(spark: SparkSession, sf_dir: str):
+    """Compressed segmented index over `documents` (the scale path), built
+    once per (session, sf) into a temp dir."""
+    key = (id(spark), sf_dir)
+    if key in _SEG_CACHE:
+        return _SEG_CACHE[key]
+    import tempfile
+
+    from ferret_spark.segments import SegmentIndexBuilder
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = tempfile.mkdtemp(prefix="ferret_entry_seg_")
+    sidx = SegmentIndexBuilder(
+        spark, path, {"text": "whitespace"}, seg_size=256
+    ).build(docs, doc_id_col="doc_id")
+    _SEG_CACHE[key] = sidx
+    return sidx
+
+
+def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNear(table, hash, slop 2, unordered) through the segmented
+    engine — positional spans are non-SQL-expressible -> rows-only check."""
+    from ferret_spark.spans import SpanNearQuery, SpanTermQuery
+
+    sidx = _get_seg_index(spark, sf_dir)
+    q = SpanNearQuery(
+        clauses=(
+            SpanTermQuery(field="text", term="table"),
+            SpanTermQuery(field="text", term="hash"),
+        ),
+        slop=2,
+    )
+    return sidx.search(q, k=10).select(
+        "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
+def _q_tfidf_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF similarity through the segmented engine (norm-byte
+    quantized scoring is non-SQL-expressible -> rows-only check)."""
+    from ferret_spark.query import TermQuery
+
+    sidx = _get_seg_index(spark, sf_dir)
+    return sidx.search(
+        TermQuery(field="text", term="scan"), k=10, similarity="tfidf"
+    ).select("doc_id", F.round(F.col("score"), 4).alias("score"))
+
+
+def _q_seg_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 term query through the COMPRESSED segment path (same ranking
+    contract as the declarative ft_term -> shares its SQL oracle shape)."""
+    from ferret_spark.query import TermQuery
+
+    sidx = _get_seg_index(spark, sf_dir)
+    # over-fetch then re-rank by the 4dp-rounded score so the top-10 cut
+    # matches the SQL oracle's ordering even at rounding-tie boundaries
+    top = sidx.search(TermQuery(field="text", term="spark"), k=K + 40)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        top.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(K)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "doc_id",
+            "score",
+        )
+    )
+
+
 def _q_fql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FQL string end-to-end: parse -> plan -> rank."""
     from ferret_spark.parser import QueryParser
@@ -700,6 +773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prefix": _q_prefix("sc"),
         "ft_wildcard": _q_wildcard("s?an"),
         "ft_fuzzy": _q_fuzzy("sprak", 0.5),
+        "ft_span_near": _q_span_near,
+        "ft_tfidf_term": _q_tfidf_term,
+        "ft_seg_term": _q_seg_term,
         "ft_sorted_nchars": _q_sorted_nchars,
         "ft_scan": _q_scan,
         "ft_count_stats": _q_count_stats,
@@ -741,6 +817,9 @@ def oracle_sql() -> dict[str, str]:
                 "least(length(p.term), length('sprak'))::DOUBLE"
             ),
         ),
+        # ft_span_near / ft_tfidf_term intentionally have no SQL twin
+        # (positional spans, norm-byte-quantized scoring) -> rows-only
+        "ft_seg_term": _sql_term("spark"),
         "ft_sorted_nchars": _sql_sorted_nchars(),
         "ft_scan": _sql_scan(),
         "ft_count_stats": _sql_count_stats(),
