@@ -742,9 +742,10 @@ FROM toks ORDER BY doc_id
 
 _SQL_MULTIMODAL = """
 SELECT doc_id,
-  list_transform(range(0, 8),
-    i -> CAST(ascii(substr(md5(text), CAST(i AS INT) + 1, 1)) AS DOUBLE))
-    AS feature,
+  array_to_string(
+    list_transform(range(0, 8),
+      i -> CAST(ascii(substr(md5(text), CAST(i AS INT) + 1, 1)) AS VARCHAR)),
+    ',') AS feature_csv,
   strlen(text)::BIGINT AS n_bytes
 FROM documents ORDER BY doc_id
 """

@@ -235,10 +235,14 @@ class Analyzer:
             rx = _STANDARD_RE
         else:
             raise ValueError(self.tokenizer)
+        if self.stem:
+            from ferret_spark.porter import stem as _stem
         out = []
         pos = -1
         for m in rx.finditer(text):
             t = m.group(0)
+            if self._map_re is not None:
+                t = self._apply_map(t)
             if self.tokenizer == "standard":
                 t = _standard_post(t)
             if self.lowercase:
@@ -246,6 +250,8 @@ class Analyzer:
             pos += 1
             if self.stop_words is not None and t in self.stop_words:
                 continue
+            if self.stem:
+                t = _stem(t)
             out.append((t, pos, m.start(), m.end()))
         return out
 

@@ -95,9 +95,17 @@ def highlight(
     ellipsis: str = "...",
 ) -> list[str]:
     """Excerpts of ``text`` with query matches wrapped in tags."""
-    if hasattr(index_or_analyzer, "field_config"):
+    if hasattr(index_or_analyzer, "analyze_offsets"):
+        # already an Analyzer instance
+        analyzer = index_or_analyzer
+    elif hasattr(index_or_analyzer, "field_config"):
         aname = index_or_analyzer.field_config.get(field, "standard")
-        analyzer = get_analyzer(aname if aname != "keyword" else "whitespace")
+        if hasattr(aname, "analyze_offsets"):
+            # field_config may hold runtime Analyzer instances (the pattern
+            # the segment builder supports) — use the instance directly
+            analyzer = aname
+        else:
+            analyzer = get_analyzer(aname if aname != "keyword" else "whitespace")
     else:
         analyzer = get_analyzer(index_or_analyzer)
     tokens = analyzer.analyze_offsets(text)

@@ -156,12 +156,20 @@ class OracleIndex:
         raise TypeError(f"unsupported query {type(q).__name__}")
 
     def _score_span(self, q) -> dict[int, float]:
-        from ferret_spark.spans import scoring_terms, span_field, span_freq
+        from ferret_spark.spans import (
+            scoring_terms,
+            span_field,
+            span_freq,
+            span_terms,
+        )
 
         field = span_field(q)
         fp = self.postings.get(field, {})
         term_dict = sorted(fp.keys())
-        terms = sorted(set(scoring_terms(q, term_dict)))
+        # fetch postings for all terms; idf only over get_terms() (SpanNot
+        # excludes its exc clause, spanxq_get_terms c/src/q_span.c:2202-2205)
+        terms = sorted(set(span_terms(q, term_dict)))
+        sterms = set(scoring_terms(q, term_dict))
         idf_sum = 0.0
         cand: set[int] = set()
         pos_by_doc: dict[int, dict[str, list[int]]] = {}
@@ -169,7 +177,8 @@ class OracleIndex:
             plist = fp.get(t)
             if not plist:
                 continue
-            idf_sum += bm25_idf(len(plist), self.n_docs)
+            if t in sterms:
+                idf_sum += bm25_idf(len(plist), self.n_docs)
             for d, _tf, positions in plist:
                 cand.add(d)
                 pos_by_doc.setdefault(d, {})[t] = positions

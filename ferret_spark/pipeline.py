@@ -397,7 +397,24 @@ def decode_image(payload: bytes):  # pragma: no cover - real decode stubbed
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary media via mapInPandas (Arrow batches).
     The 'decoder' is a deterministic md5-derived 8-dim feature so the
-    pipeline shape (binary in -> fixed-dim float out) is fully tested."""
+    pipeline shape (binary in -> fixed-dim float out) is fully tested.
+
+    The result serializes the vector as ``feature_csv`` (values are
+    integral doubles, rendered as ints) — array columns aren't
+    lex-sortable by comparison harnesses; the raw array stays available
+    via multimodal_feature_vectors()."""
+    vec = multimodal_feature_vectors(spark, sf_dir)
+    return vec.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(',', transform(feature, x -> cast(cast(x as int) as string)))"
+        ).alias("feature_csv"),
+        "n_bytes",
+    ).orderBy("doc_id")
+
+
+def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw array<double> feature output (binary in -> fixed-dim out)."""
     media = synth_media(spark, sf_dir)
 
     def extract(batches):
@@ -420,4 +437,4 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return media.mapInPandas(
         extract, "doc_id long, feature array<double>, n_bytes long"
-    ).orderBy("doc_id")
+    )

@@ -116,9 +116,17 @@ def span_terms(q, term_dict=None) -> list[str]:
 
 
 def scoring_terms(q, term_dict=None) -> list[str]:
-    """Terms contributing to the idf sum (exclusion clause excluded,
-    mirroring spanxq_get_terms which only walks inc? — the reference's
-    weight uses extract_terms over the whole query; we mirror that)."""
+    """Terms contributing to the idf sum. Mirrors the reference's
+    get_terms(): spanxq_get_terms (c/src/q_span.c:2202-2205) returns ONLY
+    the inclusion clause's terms, so SpanNot's exclusion terms never enter
+    the weight — unlike span_terms(), which also lists exc terms because
+    their postings must still be fetched to filter."""
+    if isinstance(q, SpanNotQuery):
+        return scoring_terms(q.inc, term_dict)
+    if isinstance(q, SpanFirstQuery):
+        return scoring_terms(q.match, term_dict)
+    if isinstance(q, (SpanOrQuery, SpanNearQuery)):
+        return [t for c in q.clauses for t in scoring_terms(c, term_dict)]
     return span_terms(q, term_dict)
 
 

@@ -319,17 +319,26 @@ class _SegEval:
 
     def _eval_span(self, q):
         from ferret_spark.oracle import bm25_tf
-        from ferret_spark.spans import scoring_terms, span_field, span_freq
+        from ferret_spark.spans import (
+            scoring_terms,
+            span_field,
+            span_freq,
+            span_terms,
+        )
 
         mask, score = self._zero()
         field = span_field(q)
-        terms = sorted(set(scoring_terms(q)))  # already expanded driver-side
+        # postings are fetched for ALL terms (exc clauses filter), but the
+        # idf sum covers only get_terms() — SpanNot excludes exc
+        # (spanxq_get_terms, c/src/q_span.c:2202-2205)
+        terms = sorted(set(span_terms(q)))  # already expanded driver-side
+        sterms = set(scoring_terms(q))
         idf_sum = 0.0
         pos_by_doc: dict[int, dict[str, list]] = {}
         dl_by_doc: dict[int, int] = {}
         for t in terms:
             df = self.dfs.get((field, t), 0)
-            if df > 0:
+            if df > 0 and t in sterms:
                 idf_sum += bm25_idf(df, self.n_docs)
             dec = self.decoded(field, t, with_positions=True)
             if dec is None:

@@ -100,3 +100,20 @@ def test_explain_phrase(spark, seg):
     e = explain(seg, q, r["doc_id"])
     assert np.float32(e.value) == np.float32(r["score"])
     assert "phraseFreq" in e.description
+
+
+def test_stemmed_analyzer_highlights():
+    # analyze_offsets must apply the stem filter so stemmed query terms
+    # (e.g. 'search' from 'searching') still highlight
+    q = TermQuery(field="field", term="search")
+    ex = highlight(get_analyzer("stem_en"), q, TEXT, excerpt_length=len(TEXT) + 10)
+    assert ex and "<b>searching</b>" in ex[0]
+
+
+def test_mapped_analyzer_highlights():
+    from ferret_spark.analysis import Analyzer
+
+    a = Analyzer("whitespace", lowercase=True, mappings={"å": "a"})
+    q = TermQuery(field="field", term="aha")
+    ex = highlight(a, q, "big åhå moment", excerpt_length=40)
+    assert ex and "<b>åhå</b>" in ex[0]

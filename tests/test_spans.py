@@ -182,3 +182,21 @@ def test_span_rank_identity_spark(oracle, seg, i):
     assert [d for d, _ in got] == [d for d, _ in exp]
     for (gd, gs), (ed, es) in zip(got, exp):
         assert np.float32(gs) == np.float32(es), (gd, gs, es)
+
+
+def test_spannot_scoring_terms_exclude_exc():
+    # spanxq_get_terms returns only the inclusion clause's terms
+    # (c/src/q_span.c:2202-2205) — exc must not enter the idf sum
+    from ferret_spark.spans import (
+        SpanNotQuery,
+        SpanTermQuery,
+        scoring_terms,
+        span_terms,
+    )
+
+    q = SpanNotQuery(
+        inc=SpanTermQuery(field="content", term="quick"),
+        exc=SpanTermQuery(field="content", term="fox"),
+    )
+    assert scoring_terms(q) == ["quick"]
+    assert sorted(span_terms(q)) == ["fox", "quick"]
