@@ -123,13 +123,16 @@ def build_docs(
     id_cols: Sequence[str] | None = None,
     doc_id_col: str | None = None,
     keep_tokens: bool = True,
+    doc_lens: bool = True,
 ) -> DataFrame:
-    """Docs table: doc_id + original columns + per-field doc_len + sha256
-    of each tokenized field (input_hint invariant).
+    """Docs table: doc_id + original columns + sha256 of each tokenized
+    field (input_hint invariant), plus per-field doc_len when requested.
 
-    ``keep_tokens=False`` (segment build path) computes doc_len via a
-    count-only UDF instead of materializing token arrays — the segment
-    inverter re-tokenizes executor-side anyway.
+    ``keep_tokens=True`` (declarative postings path) materializes token
+    arrays. ``keep_tokens=False, doc_lens=True`` computes doc_len via a
+    count-only UDF. ``doc_lens=False`` (segment build path) skips
+    tokenization entirely — the segment inverter is the ONLY tokenize pass
+    and emits per-segment doc-length marker rows itself.
     """
     if doc_id_col:
         df = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
@@ -149,7 +152,7 @@ def build_docs(
                     F.filter(F.col(f"_toks_{field}"), lambda t: t.isNotNull())
                 ),
             )
-        else:
+        elif doc_lens:
             dl = doc_len_udf(aname)
             df = df.withColumn(f"doc_len_{field}", dl(F.col(field).cast("string")))
         df = df.withColumn(

@@ -102,7 +102,10 @@ class FerretIndex:
             batch = B.assign_doc_ids(df, id_cols).withColumn(
                 "doc_id", F.col("doc_id") + F.lit(base)
             )
-        docs = B.build_docs(batch, self.field_config, doc_id_col="doc_id")
+        docs = B.build_docs(
+            batch, self.field_config, doc_id_col="doc_id",
+            keep_tokens=False, doc_lens=False,
+        )
         keep = [c for c in docs.columns if not c.startswith("_toks_")]
         n_new = docs.count()
         docs.select(*keep).write.mode("append").parquet(
@@ -120,8 +123,7 @@ class FerretIndex:
         self._refresh_derived()
         meta = self._meta()
         meta["id_ranges"] = ranges + [[base, base + n_new]]
-        all_docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
-        meta["stats"] = B.build_corpus_stats(all_docs, self.field_config)
+        meta["stats"] = self._segment_stats()
         self._write_meta(meta)
         append_manifest(
             self.spark,
@@ -132,9 +134,20 @@ class FerretIndex:
         self._idx = SegmentIndex.load(self.spark, self.path)
         return self
 
+    def _segment_stats(self) -> dict:
+        from ferret_spark.segments import corpus_stats_from_segments
+
+        segs = self.spark.read.parquet(os.path.join(self.path, "segments"))
+        return corpus_stats_from_segments(self.spark, segs, self.field_config)
+
     def _refresh_derived(self):
         segs = self.spark.read.parquet(os.path.join(self.path, "segments"))
-        ts = segs.groupBy("field", "term").agg(F.sum("df").alias("df"))
+        ts = (
+            segs.where(F.col("term").isNotNull())  # skip doc-length markers
+            .groupBy("field", "term")
+            .agg(F.sum("df").alias("df"))
+            .withColumn("term_num", F.expr("try_cast(term as double)"))
+        )
         ts.write.mode("overwrite").parquet(
             os.path.join(self.path, "term_stats.tmp")
         )
@@ -154,12 +167,20 @@ class FerretIndex:
         return os.path.join(self.path, "deleted")
 
     def deleted_ids(self) -> set[int]:
+        """Driver-side set — tests/small indexes only; the search and
+        optimize paths use deleted_df() (never collected)."""
         p = self._deleted_path()
         if not os.path.exists(p):
             return set()
         return {
             r["doc_id"] for r in self.spark.read.parquet(p).collect()
         }
+
+    def deleted_df(self) -> DataFrame | None:
+        p = self._deleted_path()
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p).select("doc_id")
 
     def delete_by_term(self, field: str, term: str) -> int:
         return self.delete_by_query(TermQuery(field=field, term=term))
@@ -176,9 +197,8 @@ class FerretIndex:
     def search(self, q: Query, k: int | None = 10, offset: int = 0) -> DataFrame:
         from ferret_spark.wand import segment_search
 
-        deleted = self.deleted_ids()
         return segment_search(
-            self.index, q, k=k, offset=offset, deleted=deleted
+            self.index, q, k=k, offset=offset, deleted=self.deleted_df()
         )
 
     def query(self, fql: str, k: int = 10, **kw) -> DataFrame:
@@ -213,15 +233,25 @@ class FerretIndex:
             _bm_tuples,
         )
 
-        deleted = self.deleted_ids()
+        deleted_df = self.deleted_df()
+        has_deletes = deleted_df is not None
         segs = self.spark.read.parquet(os.path.join(self.path, "segments"))
-        if deleted:
-            del_b = self.spark.sparkContext.broadcast(deleted)
+        if has_deletes:
+            # deletions ride the seg_id shuffle as packed __del__ rows (the
+            # same mechanism the search path uses) — a bulk delete never
+            # becomes a driver-side set or broadcast list
+            from ferret_spark.wand import _pack_deleted
 
-            def rewrite(pdf: pd.DataFrame) -> pd.DataFrame:
-                dset = del_b.value
+            del_rows = _pack_deleted(deleted_df, self.seg_size, segs.schema)
+
+            def rewrite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                ids_del = np.empty(0, dtype=np.int64)
+                for _, r in pdf[pdf["field"] == "__del__"].iterrows():
+                    ids_del = np.frombuffer(bytes(r["doc_bin"]), dtype=np.int64)
                 out = []
                 for _, r in pdf.iterrows():
+                    if r["field"] == "__del__":
+                        continue
                     row = {
                         "doc_bin": bytes(r["doc_bin"]),
                         "tf_bin": bytes(r["tf_bin"]),
@@ -231,11 +261,15 @@ class FerretIndex:
                         "df": int(r["df"]),
                     }
                     ids, tfs, pos, dls = decode_posting_list(row)
-                    keep = ~np.isin(ids, list(dset))
+                    keep = (
+                        ~np.isin(ids, ids_del)
+                        if len(ids_del)
+                        else np.ones(len(ids), dtype=bool)
+                    )
                     if not keep.any():
                         continue
                     positions = (
-                        [p for p, k in zip(pos, keep) if k] if pos else None
+                        [p for p, kp in zip(pos, keep) if kp] if pos else None
                     )
                     enc = encode_posting_list(
                         ids[keep], tfs[keep], positions, dls[keep]
@@ -261,8 +295,13 @@ class FerretIndex:
                     ],
                 )
 
-            segs = segs.mapInPandas(lambda it: map(rewrite, it), SEGMENT_SCHEMA)
+            segs = (
+                segs.unionByName(del_rows)
+                .groupBy("seg_id")
+                .applyInPandas(rewrite, SEGMENT_SCHEMA)
+            )
 
+        n_del = deleted_df.count() if has_deletes else 0
         tmp = os.path.join(self.path, "segments.tmp")
         (
             segs.repartition(F.col("seg_id"))
@@ -275,7 +314,6 @@ class FerretIndex:
         final = os.path.join(self.path, "segments")
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
-        shutil.rmtree(self._deleted_path(), ignore_errors=True)
 
         # rebuild merged + stats over the compacted segments
         segs2 = self.spark.read.parquet(final)
@@ -288,23 +326,24 @@ class FerretIndex:
         shutil.rmtree(mfinal, ignore_errors=True)
         os.rename(mtmp, mfinal)
         self._refresh_derived()
-        # remove deleted rows from the docs table + stats
-        if deleted:
+        # remove deleted rows from the docs table + stats (anti-join — the
+        # deleted set never reaches the driver)
+        if has_deletes:
             docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
-            kept = docs.where(~F.col("doc_id").isin(list(deleted)))
+            kept = docs.join(deleted_df, "doc_id", "left_anti")
             dtmp = os.path.join(self.path, "docs.tmp")
             kept.write.mode("overwrite").parquet(dtmp)
             dfinal = os.path.join(self.path, "docs")
             shutil.rmtree(dfinal, ignore_errors=True)
             os.rename(dtmp, dfinal)
+        shutil.rmtree(self._deleted_path(), ignore_errors=True)
         meta = self._meta()
-        all_docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
-        meta["stats"] = B.build_corpus_stats(all_docs, self.field_config)
+        meta["stats"] = self._segment_stats()
         meta["merged_stale"] = False
         self._write_meta(meta)
         append_manifest(
             self.spark, self.path, f"optimize_{int(time.time())}",
-            {"rows": len(deleted), "bytes": -1},
+            {"rows": n_del, "bytes": -1},
         )
         self._idx = SegmentIndex.load(self.spark, self.path)
         return self

@@ -94,8 +94,42 @@ def invert_partition(
     c/src/index.c:5565-5640). Fully vectorized: tokenize via the pandas
     analyzer surface, flatten to (term_code, doc, pos) numpy arrays, one
     lexsort, run-length boundaries, flat codec encode — no per-token
-    Python."""
+    Python.
+
+    For every tokenized field one extra MARKER row (term = NULL) carries
+    the segment's per-doc BM25 lengths, encoded with the same posting
+    codec (ids = sorted doc ids, dls = token counts incl. zeros). The one
+    tokenize pass thus serves postings AND corpus stats — no separate
+    doc_len job — and optimize()'s delete-expunge rewrite handles markers
+    exactly like postings."""
+    from ferret_spark.codec import encode_posting_list
+
     out_rows = []
+
+    def _dl_marker(field: str, doc_ids: np.ndarray, dls_all: np.ndarray):
+        if len(doc_ids) == 0:
+            return
+        o = np.argsort(doc_ids, kind="stable")
+        enc = encode_posting_list(
+            doc_ids[o].astype(np.int64),
+            np.ones(len(doc_ids), dtype=np.int64),
+            None,
+            dls_all[o].astype(np.int64),
+        )
+        out_rows.append(
+            (
+                seg_id,
+                field,
+                None,
+                int(len(doc_ids)),
+                enc["doc_bin"],
+                enc["tf_bin"],
+                enc["pos_bin"],
+                enc["dl_bin"],
+                _bm_tuples(enc["block_meta"]),
+            )
+        )
+
     for field, aname in field_config.items():
         doc_ids = pdf["doc_id"].to_numpy()
         n_rows = len(doc_ids)
@@ -120,6 +154,7 @@ def invert_partition(
             )
             total = int(lens.sum())
             if total == 0:
+                _dl_marker(field, doc_ids, np.zeros(n_rows, dtype=np.int64))
                 continue
             row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             pos_flat = np.arange(total, dtype=np.int64) - np.repeat(
@@ -140,6 +175,7 @@ def invert_partition(
             dls_per_doc = np.bincount(
                 row_idx[valid], minlength=n_rows
             ).astype(np.int64)
+            _dl_marker(field, doc_ids, dls_per_doc)
             terms_v = terms_flat.to_numpy()[valid]
             docs_v = docs_flat[valid]
             pos_v = pos_flat[valid]
@@ -209,14 +245,27 @@ def invert_partition(
 
 
 def build_segments(
-    docs: DataFrame, field_config: dict[str, str], seg_size: int
+    docs: DataFrame,
+    field_config: dict[str, str],
+    seg_size: int,
+    n_segments: int | None = None,
 ) -> DataFrame:
     """docs (with doc_id) -> segment posting rows. seg_id = doc_id//seg_size
-    (doc-range segments -> merge is pure concat)."""
+    (doc-range segments -> merge is pure concat).
+
+    When ``n_segments`` is known, docs are range-partitioned one segment
+    per partition first: plain groupBy hash-partitions G segments into P
+    shuffle partitions, and for G within ~2x of P the binomial collisions
+    leave some tasks with 3-4 segments while others idle — a straggler tax
+    that shows up directly as lost scaling efficiency at higher
+    parallelism. RangePartitioning satisfies the groupBy's clustered
+    distribution, so no second shuffle is added."""
     cols = ["doc_id"] + [f for f in field_config]
     src = docs.select(*cols).withColumn(
         "seg_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
     )
+    if n_segments and n_segments > 1:
+        src = src.repartitionByRange(n_segments, "seg_id")
 
     # resolve analyzer instances DRIVER-side so runtime-registered custom
     # analyzers are pickled into the task closure (executor workers only
@@ -329,6 +378,9 @@ def merge_segments(
     appears in EVERY segment, and without salting its entire posting list
     would funnel through one task (skew handling required by north_rule).
     """
+    # doc-length marker rows (term NULL) are per-segment metadata — they
+    # never merge into the global (field, term) index
+    segments = segments.where(F.col("term").isNotNull())
     if n_segments is None:
         max_seg = segments.agg(F.max("seg_id")).collect()[0][0] or 0
         n_segments = max_seg + 1
@@ -360,16 +412,28 @@ def _manifest_path(path: str) -> str:
 
 
 def read_manifest(spark: SparkSession, path: str) -> dict[str, dict]:
+    """Manifest rows (stage -> metrics). Driver-side pyarrow read — the
+    manifest is tiny lineage metadata and must not cost Spark jobs (the
+    builder consults it between every stage; job-launch latency there is
+    pure serial fraction against the scaling gate)."""
+    import pyarrow.parquet as pq
+
     mp = _manifest_path(path)
     if not os.path.exists(mp):
         return {}
     out = {}
-    for r in spark.read.parquet(mp).collect():
-        out[r["stage"]] = r.asDict()
+    for fn in sorted(os.listdir(mp)):
+        if not fn.endswith(".parquet"):
+            continue
+        for r in pq.read_table(os.path.join(mp, fn)).to_pylist():
+            out[r["stage"]] = r
     return out
 
 
 def append_manifest(spark: SparkSession, path: str, stage: str, metrics: dict):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     row = {
         "stage": stage,
         "rows": int(metrics.get("rows", -1)),
@@ -379,11 +443,96 @@ def append_manifest(spark: SparkSession, path: str, stage: str, metrics: dict):
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "elapsed_sec": float(metrics.get("elapsed_sec", -1.0)),
     }
-    spark.createDataFrame(
-        [row],
-        "stage string, rows long, bytes long, partitions long, status string,"
-        " ts string, elapsed_sec double",
-    ).write.mode("append").parquet(_manifest_path(path))
+    mp = _manifest_path(path)
+    os.makedirs(mp, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("stage", pa.string()),
+            ("rows", pa.int64()),
+            ("bytes", pa.int64()),
+            ("partitions", pa.int64()),
+            ("status", pa.string()),
+            ("ts", pa.string()),
+            ("elapsed_sec", pa.float64()),
+        ]
+    )
+    table = pa.Table.from_pylist([row], schema=schema)
+    fn = f"stage-{stage}-{time.time_ns()}.parquet"
+    pq.write_table(table, os.path.join(mp, fn))
+
+
+def parquet_rows(path: str) -> int:
+    """Row count from parquet footers (driver-side, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _d, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return total
+
+
+def corpus_stats_from_segments(
+    spark: SparkSession,
+    segments: DataFrame,
+    field_config: dict,
+    n_docs_fallback: int = 0,
+) -> dict:
+    """Exact corpus stats (n_docs, per-field avgdl / dl_max / dl_min) from
+    the doc-length marker rows — one small distributed decode over one row
+    per (segment, field); no docs-table scan, no extra tokenize pass."""
+    from ferret_spark.codec import decode_posting_list
+
+    markers = segments.where(F.col("term").isNull())
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                _ids, _tfs, _pos, dls = decode_posting_list(
+                    _row_to_codec(r), with_positions=False
+                )
+                rows.append(
+                    (
+                        r["field"],
+                        int(len(dls)),
+                        int(dls.sum()),
+                        int(dls.max()),
+                        int(dls.min()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["field", "n", "s", "mx", "mn"]
+            )
+
+    agg = (
+        markers.mapInPandas(
+            dec, "field string, n long, s long, mx long, mn long"
+        )
+        .groupBy("field")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.max("mx").alias("mx"),
+            F.min("mn").alias("mn"),
+        )
+        .collect()
+    )
+    by_field = {r["field"]: r for r in agg}
+    n_docs = max((int(r["n"]) for r in agg), default=n_docs_fallback)
+    stats = {"n_docs": n_docs, "avgdl": {}, "dl_max": {}, "dl_min": {}}
+    for field, aname in field_config.items():
+        if aname == "keyword" or field not in by_field:
+            stats["avgdl"][field] = 1.0
+            stats["dl_max"][field] = 1
+            stats["dl_min"][field] = 1
+            continue
+        r = by_field[field]
+        stats["avgdl"][field] = float(r["s"]) / max(int(r["n"]), 1)
+        stats["dl_max"][field] = int(r["mx"])
+        stats["dl_min"][field] = int(r["mn"])
+    return stats
 
 
 def _dir_bytes(p: str) -> int:
@@ -449,14 +598,17 @@ class SegmentIndexBuilder:
         docs_dir = os.path.join(path, "docs")
         if "docs" not in done:
             t0 = time.time()
+            # no tokenize here: the segment inverter is the single tokenize
+            # pass (doc lengths ride its marker rows) — this stage is just
+            # doc_id assignment + content sha256 + write
             docs = B.build_docs(
                 corpus, self.field_config, id_cols, doc_id_col,
-                keep_tokens=False,
+                keep_tokens=False, doc_lens=False,
             )
             keep = [c for c in docs.columns if not c.startswith("_toks_")]
             docs.select(*keep).write.mode("overwrite").parquet(docs_dir)
-            n = spark.read.parquet(docs_dir).count()
-            self._finish("docs", n, t0, docs_dir)
+            # row count from parquet footers — no extra Spark job
+            self._finish("docs", parquet_rows(docs_dir), t0, docs_dir)
         if stop_after == "docs":
             return None
 
@@ -464,17 +616,19 @@ class SegmentIndexBuilder:
         if "segments" not in self._done():
             t0 = time.time()
             docs = spark.read.parquet(docs_dir)
-            segs = build_segments(docs, self.field_config, self.seg_size)
+            n_docs_known = int(self._done().get("docs", {}).get("rows", 0))
+            n_segs = max(1, (n_docs_known + self.seg_size - 1) // self.seg_size)
+            segs = build_segments(
+                docs, self.field_config, self.seg_size, n_segments=n_segs
+            )
             # sorted-by-term within files -> parquet rowgroup stats prune
             # query-term scans (the .tii tier analog)
             (
-                segs.repartition(F.col("seg_id"))
-                .sortWithinPartitions("seg_id", "field", "term")
+                segs.sortWithinPartitions("seg_id", "field", "term")
                 .write.mode("overwrite")
                 .parquet(seg_dir)
             )
-            n = spark.read.parquet(seg_dir).count()
-            self._finish("segments", n, t0, seg_dir)
+            self._finish("segments", parquet_rows(seg_dir), t0, seg_dir)
         if stop_after == "segments":
             return None
 
@@ -502,8 +656,7 @@ class SegmentIndexBuilder:
                 .write.mode("overwrite")
                 .parquet(merged_dir)
             )
-            n = spark.read.parquet(merged_dir).count()
-            self._finish("merged", n, t0, merged_dir)
+            self._finish("merged", parquet_rows(merged_dir), t0, merged_dir)
         if stop_after == "merged":
             return None
 
@@ -511,16 +664,27 @@ class SegmentIndexBuilder:
         if "term_stats" not in self._done():
             t0 = time.time()
             merged = spark.read.parquet(merged_dir)
-            ts = merged.select("field", "term", "df")
+            ts = merged.select(
+                "field",
+                "term",
+                "df",
+                # numeric shadow of the term: typed RangeQuery rewrites to a
+                # PUSHED parquet range predicate instead of collecting the
+                # whole term dictionary to the driver
+                F.expr("try_cast(term as double)").alias("term_num"),
+            )
             ts.write.mode("overwrite").parquet(ts_dir)
-            self._finish("term_stats", spark.read.parquet(ts_dir).count(), t0, ts_dir)
+            self._finish("term_stats", parquet_rows(ts_dir), t0, ts_dir)
         if stop_after == "term_stats":
             return None
 
         if "meta" not in self._done():
             t0 = time.time()
-            docs = spark.read.parquet(docs_dir)
-            stats = B.build_corpus_stats(docs, self.field_config)
+            n_docs = int(self._done().get("docs", {}).get("rows", 0))
+            segs = spark.read.parquet(seg_dir)
+            stats = corpus_stats_from_segments(
+                spark, segs, self.field_config, n_docs_fallback=n_docs
+            )
             meta = {
                 "stats": stats,
                 "field_config": self.field_config,
@@ -550,20 +714,27 @@ class SegmentIndex:
         self.id_ranges = meta.get(
             "id_ranges", [[0, self.stats["n_docs"]]]
         )
+        # per-reader filter cache: filter key -> expanded term tuple
+        # (frt_filter_get_bv analog, c/src/filter.c:24-38)
+        self.filter_cache: dict = {}
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SegmentIndex":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
-        return cls(
+        seg_raw = spark.read.parquet(os.path.join(path, "segments"))
+        idx = cls(
             spark,
             path,
             spark.read.parquet(os.path.join(path, "docs")),
-            spark.read.parquet(os.path.join(path, "segments")),
+            # NULL-term rows are per-segment doc-length markers, not postings
+            seg_raw.where(F.col("term").isNotNull()),
             spark.read.parquet(os.path.join(path, "merged")),
             spark.read.parquet(os.path.join(path, "term_stats")),
             meta,
         )
+        idx.seg_markers = seg_raw.where(F.col("term").isNull())
+        return idx
 
     @property
     def n_docs(self) -> int:

@@ -117,22 +117,37 @@ def _expand_span(index, q):
 
 def _range_to_const(index, q: Query) -> Query:
     if isinstance(q, RangeQuery):
+        # per-index filter cache (frt_filter_get_bv analog,
+        # c/src/filter.c:24-38): a repeated range filter reuses its
+        # expanded term set instead of re-scanning the term dictionary
+        cache = getattr(index, "filter_cache", None)
+        ckey = (
+            "range", q.field, q.lower, q.upper,
+            q.include_lower, q.include_upper, q.typed,
+        )
+        if cache is not None and ckey in cache:
+            return ConstantScoreTerms(
+                boost=q.boost, field=q.field, terms=cache[ckey]
+            )
         ts = index.term_stats.where(F.col("field") == q.field)
         if q.typed:
-            terms = [r["term"] for r in ts.select("term").collect()]
-            out = []
-            for t in terms:
-                try:
-                    x = float(t)
-                except ValueError:
-                    continue
-                lo = float(q.lower) if q.lower is not None else None
-                hi = float(q.upper) if q.upper is not None else None
-                if lo is not None and (x < lo or (x == lo and not q.include_lower)):
-                    continue
-                if hi is not None and (x > hi or (x == hi and not q.include_upper)):
-                    continue
-                out.append(t)
+            # numeric bounds pushed into the term_stats scan via the
+            # build-time term_num column (parquet rowgroup pruning) — only
+            # the MATCHING terms ever reach the driver, never the whole
+            # term dictionary (O(vocabulary) driver collect is a
+            # 10^12-scale killer)
+            if "term_num" in ts.columns:
+                num = F.col("term_num")
+            else:  # legacy index layout without the shadow column
+                num = F.expr("try_cast(term as double)")
+            cond = num.isNotNull()
+            if q.lower is not None:
+                lo = float(q.lower)
+                cond = cond & (num >= lo if q.include_lower else num > lo)
+            if q.upper is not None:
+                hi = float(q.upper)
+                cond = cond & (num <= hi if q.include_upper else num < hi)
+            out = [r["term"] for r in ts.where(cond).select("term").collect()]
         else:
             cond = F.lit(True)
             if q.lower is not None:
@@ -146,7 +161,10 @@ def _range_to_const(index, q: Query) -> Query:
                     F.col("term") <= hi if q.include_upper else F.col("term") < hi
                 )
             out = [r["term"] for r in ts.where(cond).select("term").collect()]
-        return ConstantScoreTerms(boost=q.boost, field=q.field, terms=tuple(sorted(out)))
+        expanded = tuple(sorted(out))
+        if cache is not None:
+            cache[ckey] = expanded
+        return ConstantScoreTerms(boost=q.boost, field=q.field, terms=expanded)
     if isinstance(q, BooleanQuery):
         from ferret_spark.query import Clause
 
@@ -182,6 +200,20 @@ def _query_needs_all_docs(q: Query) -> bool:
         return True
     if isinstance(q, BooleanQuery):
         return any(_query_needs_all_docs(c.query) for c in q.clauses)
+    return False
+
+
+def _needs_absent_dfs(q: Query) -> bool:
+    """True when scoring needs global dfs for terms NOT present in a
+    segment: phrase/span idf sums cover every (globally alive) query term,
+    while term/multiterm/const nodes only read dfs of locally-present
+    postings."""
+    from ferret_spark.spans import is_span
+
+    if isinstance(q, PhraseQuery) or is_span(q):
+        return True
+    if isinstance(q, BooleanQuery):
+        return any(_needs_absent_dfs(c.query) for c in q.clauses)
     return False
 
 
@@ -719,7 +751,269 @@ def _wand_multiterm_topk(
 
 
 # ---------------------------------------------------------------------------
+# block-max WAND for boolean trees of term-like clauses
+
+
+def _bool_wandable(q: Query) -> bool:
+    """Boolean trees whose clauses are all term-like (Term / MultiTerm /
+    ConstantScoreTerms) take the interval block-max path: MUST clauses
+    prune intervals they don't cover (leapfrog analog, skip_to
+    c/src/index.c:2999-3065), SHOULD clauses contribute upper bounds."""
+    if not isinstance(q, BooleanQuery) or not q.clauses:
+        return False
+    n_terms = 0
+    has_scoring = False
+    for c in q.clauses:
+        cq = c.query
+        if isinstance(cq, TermQuery):
+            n_terms += 1
+        elif isinstance(cq, MultiTermQuery):
+            n_terms += len(cq.terms)
+        elif isinstance(cq, ConstantScoreTerms):
+            n_terms += len(cq.terms)
+        else:
+            return False
+        if c.occur != MUST_NOT:
+            has_scoring = True
+    return has_scoring and 0 < n_terms <= 32
+
+
+def _clause_terms(cq) -> list[tuple[str, float]]:
+    if isinstance(cq, TermQuery):
+        return [(cq.term, 1.0)]
+    if isinstance(cq, MultiTermQuery):
+        return sorted(cq.terms)
+    return [(t, 1.0) for t in cq.terms]  # ConstantScoreTerms
+
+
+def _win_eval_clause(ev: _SegEval, cq, lo: int, hi: int):
+    """(mask, score) for one term-like clause restricted to local doc-id
+    window [lo, hi). Per-doc float64 ops are IDENTICAL to the full-segment
+    _eval_term/_eval_multi/_eval_const (windowing only subsets docs), so
+    scores stay bit-equal to the unpruned path."""
+    width = hi - lo
+    mask = np.zeros(width, dtype=bool)
+    score = np.zeros(width, dtype=np.float64)
+    avgdl = ev.avgdl[cq.field]
+    if isinstance(cq, TermQuery):
+        dec = ev.decoded(cq.field, cq.term)
+        df = ev.dfs.get((cq.field, cq.term), 0)
+        if dec is None or df == 0:
+            return mask, score
+        local, tfs, _, dls = dec
+        a, b = np.searchsorted(local, (lo, hi))
+        idx = local[a:b] - lo
+        idf = bm25_idf(df, ev.n_docs)
+        score[idx] = cq.boost * idf * _bm25_tf_np(tfs[a:b], dls[a:b], avgdl)
+        mask[idx] = True
+        return mask, score
+    if isinstance(cq, MultiTermQuery):
+        for term, tboost in sorted(cq.terms):
+            df = ev.dfs.get((cq.field, term), 0)
+            dec = ev.decoded(cq.field, term)
+            if df == 0 or dec is None:
+                continue
+            local, tfs, _, dls = dec
+            a, b = np.searchsorted(local, (lo, hi))
+            idx = local[a:b] - lo
+            idf = bm25_idf(df, ev.n_docs)
+            score[idx] += tboost * idf * _bm25_tf_np(
+                tfs[a:b], dls[a:b], avgdl
+            )
+            mask[idx] = True
+        score[mask] *= cq.boost
+        score[~mask] = 0.0
+        return mask, score
+    # ConstantScoreTerms
+    for term in cq.terms:
+        dec = ev.decoded(cq.field, term)
+        if dec is None:
+            continue
+        local = dec[0]
+        a, b = np.searchsorted(local, (lo, hi))
+        mask[local[a:b] - lo] = True
+    score[mask] = cq.boost * 1.0
+    return mask, score
+
+
+def _clause_block_events(ev: _SegEval, cq):
+    """(ub_events, cov_events) piecewise maps over local doc ids: ub_events
+    accumulates the clause's block-max BM25 upper bound; cov_events counts
+    covering blocks (feasibility for MUST pruning). ConstantScoreTerms has
+    a flat bound = boost wherever covered."""
+    ub_events: dict[int, float] = {}
+    cov_events: dict[int, int] = {}
+    const = isinstance(cq, ConstantScoreTerms)
+    avgdl = ev.avgdl[cq.field]
+    for term, tboost in _clause_terms(cq):
+        row = ev.rows.get((cq.field, term))
+        df = ev.dfs.get((cq.field, term), 0)
+        if row is None or (df == 0 and not const):
+            continue
+        idf = 0.0 if const else bm25_idf(df, ev.n_docs)
+        for bm in row["block_meta"]:
+            lo = int(bm["first"]) - ev.base
+            hi = int(bm["last"]) - ev.base + 1
+            cov_events[lo] = cov_events.get(lo, 0) + 1
+            cov_events[hi] = cov_events.get(hi, 0) - 1
+            if not const:
+                mtf = float(bm["max_tf"])
+                mdl = float(max(bm.get("min_dl", 0), 0))
+                ub = (
+                    tboost
+                    * idf
+                    * (mtf * (K1 + 1.0))
+                    / (mtf + K1 * (1.0 - B + B * mdl / avgdl))
+                )
+                ub_events[lo] = ub_events.get(lo, 0.0) + ub
+                ub_events[hi] = ub_events.get(hi, 0.0) - ub
+    return ub_events, cov_events, cq.boost
+
+
+def _wand_bool_topk(ev: _SegEval, q: BooleanQuery, k: int, del_local=None):
+    """Interval block-max WAND over a boolean tree of term-like clauses.
+    Intervals where any MUST clause has no block coverage are infeasible
+    and skipped outright; remaining intervals are visited in decreasing
+    upper-bound order until the bound can't beat the kth score. Exact
+    per-interval evaluation mirrors _eval_bool's clause order float64
+    arithmetic. Returns (docs, scores, intervals_skipped)."""
+    musts = [c.query for c in q.clauses if c.occur == MUST]
+    shoulds = [c.query for c in q.clauses if c.occur == SHOULD]
+    nots = [c.query for c in q.clauses if c.occur == MUST_NOT]
+    scoring = [(cq, True) for cq in musts] + [(cq, False) for cq in shoulds]
+
+    per_clause = []
+    for cq, is_must in scoring:
+        ub_ev, cov_ev, boost = _clause_block_events(ev, cq)
+        if is_must and not cov_ev:
+            return [], [], 0  # a MUST clause matches nothing here
+        per_clause.append((cq, is_must, ub_ev, cov_ev, boost))
+
+    bounds = sorted(
+        {b for _, _, u, c, _ in per_clause for b in (*u, *c)}
+    )
+    if not bounds:
+        return [], [], 0
+    # walk elementary intervals accumulating each clause's ub + coverage
+    accs = [0.0] * len(per_clause)
+    covs = [0] * len(per_clause)
+    intervals = []  # (ub_sum, lo, hi)
+    for i, pt in enumerate(bounds[:-1]):
+        for j, (cq, is_must, ub_ev, cov_ev, boost) in enumerate(per_clause):
+            accs[j] += ub_ev.get(pt, 0.0)
+            covs[j] += cov_ev.get(pt, 0)
+        feasible = all(
+            covs[j] > 0
+            for j, (_, is_must, _, _, _) in enumerate(per_clause)
+            if is_must
+        )
+        if not feasible:
+            continue
+        ub = 0.0
+        for j, (cq, is_must, ub_ev, cov_ev, boost) in enumerate(per_clause):
+            if covs[j] <= 0:
+                continue
+            if isinstance(cq, ConstantScoreTerms):
+                ub += cq.boost
+            else:
+                # clause bound = (sum of per-term block bounds) * clause
+                # boost (Term and MultiTerm both scale by cq.boost)
+                ub += accs[j] * cq.boost
+        if ub > 0.0:
+            intervals.append((ub, pt, bounds[i + 1]))
+    intervals.sort(key=lambda t: -t[0])
+
+    heap: list[tuple[np.float32, int]] = []
+    exact: dict[int, float] = {}
+    skipped = 0
+    for n_i, (ub_sum, lo, hi) in enumerate(intervals):
+        if len(heap) >= k:
+            theta = float(heap[0][0])
+            if q.boost * ub_sum < theta * (1.0 - 1e-6):
+                skipped += len(intervals) - n_i
+                break
+        width = hi - lo
+        total = np.zeros(width, dtype=np.float64)
+        if musts:
+            mask = np.ones(width, dtype=bool)
+            for m in musts:
+                mm, ms = _win_eval_clause(ev, m, lo, hi)
+                mask &= mm
+                total += ms
+            for s in shoulds:
+                _sm, ss = _win_eval_clause(ev, s, lo, hi)
+                total += ss
+        else:
+            mask = np.zeros(width, dtype=bool)
+            for s in shoulds:
+                sm, ss = _win_eval_clause(ev, s, lo, hi)
+                mask |= sm
+                total += ss
+        for n_ in nots:
+            nm, _ns = _win_eval_clause(ev, n_, lo, hi)
+            mask &= ~nm
+        if del_local is not None and len(del_local):
+            d_in = del_local[(del_local >= lo) & (del_local < hi)] - lo
+            if len(d_in):
+                mask[d_in] = False
+        docs_here = np.flatnonzero(mask)
+        if len(docs_here) == 0:
+            continue
+        scores_here = q.boost * total[docs_here]
+        f32 = scores_here.astype(np.float32)
+        for i in range(len(docs_here)):
+            d = int(docs_here[i]) + lo
+            item = (f32[i], -d)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+                exact[d] = float(scores_here[i])
+            elif item > heap[0]:
+                _, nd_old = heapq.heapreplace(heap, item)
+                exact.pop(-nd_old, None)
+                exact[d] = float(scores_here[i])
+    out = sorted(((-nd, float(s)) for s, nd in heap), key=lambda t: (-t[1], t[0]))
+    docs = [d for d, _ in out]
+    return docs, [exact[d] for d in docs], skipped
+
+
+# ---------------------------------------------------------------------------
 # the distributed search
+
+
+def _pack_deleted(deleted: DataFrame, seg_size: int, seg_schema) -> DataFrame:
+    """deleted doc_ids -> one __del__ row per affected segment whose
+    doc_bin is the sorted int64 id array. Rides the same seg_id shuffle as
+    the posting rows, so a bulk delete (10^9 ids) never touches the driver
+    and each scoring task sees only its own segment's deletions
+    (lazy-BitVector analog, c/src/index.c:5729-5745)."""
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(pdf["doc_id"].to_numpy().astype(np.int64))
+        return pd.DataFrame(
+            [
+                (
+                    int(key[0]),
+                    "__del__",
+                    "",
+                    int(len(ids)),
+                    ids.tobytes(),
+                    b"",
+                    b"",
+                    b"",
+                    None,
+                )
+            ],
+            columns=[
+                "seg_id", "field", "term", "df",
+                "doc_bin", "tf_bin", "pos_bin", "dl_bin", "block_meta",
+            ],
+        )
+
+    rows = deleted.select(
+        (F.col("doc_id") / F.lit(seg_size)).cast("int").alias("seg_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    return rows.groupBy("seg_id").applyInPandas(pack, seg_schema)
 
 
 def segment_search(
@@ -728,13 +1022,15 @@ def segment_search(
     k: int | None = 10,
     offset: int = 0,
     prune: bool = True,
-    deleted: set[int] | None = None,
+    deleted=None,
     similarity: str = "bm25",
     doc_boosts: dict[int, float] | None = None,
 ) -> DataFrame:
+    """``deleted`` is a DataFrame with a doc_id column (distributed path —
+    each segment task receives only ITS deletions as a packed binary row)
+    or, legacy, a small driver-side set."""
     rq = wand_rewrite(index, q)
     pairs = sorted(set(_collect_terms(rq)))
-    dfs = index.doc_freqs(pairs)
     n_docs = index.n_docs
     avgdl_map = dict(index.stats["avgdl"])
     seg_size = index.seg_size
@@ -742,6 +1038,14 @@ def segment_search(
 
     if not pairs and not needs_all:
         return index.spark.createDataFrame([], "doc_id long, score float")
+
+    # Global df resolution. BM25 fuses the lookup INTO the scoring job:
+    # every matching segment gets one tiny __df__ stub row per query term
+    # (global df from a broadcast term_stats scan), so a search is ONE
+    # Spark job instead of doc_freqs-collect + scoring. TF-IDF still
+    # resolves driver-side (qnorm needs the dfs before the job).
+    fuse_dfs = similarity == "bm25" and bool(pairs)
+    dfs = {} if fuse_dfs else index.doc_freqs(pairs)
 
     if pairs and not needs_all:
         fields = sorted({f for f, _ in pairs})
@@ -775,6 +1079,52 @@ def segment_search(
         )
         seg_rows = seg_rows.unionByName(stub)
 
+    has_gdf = False
+    if fuse_dfs:
+        ts_small = index.term_stats.where(
+            F.col("field").isin(fields) & F.col("term").isin(terms)
+        ).select("field", "term", "df")
+        if _needs_absent_dfs(rq):
+            # phrase/span idf sums include terms absent from a given
+            # segment -> ship EVERY query term's global df to every
+            # matching segment as __df__ stub rows
+            seg_ids_src = (
+                index.segments.select("seg_id").distinct()
+                if needs_all
+                else seg_rows.select("seg_id").distinct()
+            )
+            df_stubs = seg_ids_src.crossJoin(F.broadcast(ts_small)).select(
+                "seg_id",
+                F.concat(F.lit("__df__:"), F.col("field")).alias("field"),
+                "term",
+                "df",
+                F.lit(b"").alias("doc_bin"),
+                F.lit(b"").alias("tf_bin"),
+                F.lit(b"").alias("pos_bin"),
+                F.lit(b"").alias("dl_bin"),
+                F.lit(None)
+                .cast(index.segments.schema["block_meta"].dataType)
+                .alias("block_meta"),
+            )
+            seg_rows = seg_rows.unionByName(df_stubs)
+        else:
+            # flat term queries only score terms that are locally present
+            # -> a broadcast hash join attaches each row's global df
+            # in-task (no extra shuffle, unlike a distinct+crossJoin)
+            has_gdf = True
+            seg_rows = seg_rows.join(
+                F.broadcast(ts_small.withColumnRenamed("df", "gdf")),
+                ["field", "term"],
+                "left",
+            )
+
+    if deleted is not None and isinstance(deleted, DataFrame):
+        del_rows = _pack_deleted(deleted, seg_size, index.segments.schema)
+        if has_gdf:
+            del_rows = del_rows.withColumn("gdf", F.lit(None).cast("long"))
+        seg_rows = seg_rows.unionByName(del_rows)
+        deleted = None  # handled distributively
+
     local_k = None if k is None else offset + k
     # interval block-max WAND pays off for small disjunctions; past ~32
     # terms the vectorized dense-accumulator exact path is faster (one
@@ -785,6 +1135,12 @@ def segment_search(
         and local_k is not None
         and isinstance(rq, MultiTermQuery)
         and len(rq.terms) <= 32
+    )
+    use_bool_wand = (
+        prune
+        and similarity == "bm25"
+        and local_k is not None
+        and _bool_wandable(rq)
     )
     qnorm = 1.0
     if similarity == "tfidf":
@@ -809,11 +1165,27 @@ def segment_search(
             if deleted
             else None
         )
+        dfs_local = dict(dfs)
         rows_by_ft = {}
         for _, r in pdf.iterrows():
-            if r["field"] == "__stub__":
+            fld = r["field"]
+            if fld == "__stub__":
                 continue
-            rows_by_ft[(r["field"], r["term"])] = {
+            if fld.startswith("__df__:"):
+                dfs_local[(fld[7:], r["term"])] = int(r["df"])
+                continue
+            if has_gdf and not pd.isna(r["gdf"]):
+                dfs_local[(fld, r["term"])] = int(r["gdf"])
+            if fld == "__del__":
+                ids = np.frombuffer(bytes(r["doc_bin"]), dtype=np.int64)
+                dl2 = ids - base
+                del_local = (
+                    dl2
+                    if del_local is None
+                    else np.union1d(del_local, dl2)
+                )
+                continue
+            rows_by_ft[(fld, r["term"])] = {
                 "doc_bin": bytes(r["doc_bin"]),
                 "tf_bin": bytes(r["tf_bin"]),
                 "pos_bin": bytes(r["pos_bin"]),
@@ -827,7 +1199,7 @@ def segment_search(
         if similarity == "tfidf":
             ev = _SegEvalTFIDF(
                 rows_by_ft,
-                dfs,
+                dfs_local,
                 n_docs,
                 avgdl_map,
                 base,
@@ -838,10 +1210,17 @@ def segment_search(
             )
         else:
             ev = _SegEval(
-                rows_by_ft, dfs, n_docs, avgdl_map, base, seg_n, id_ranges
+                rows_by_ft, dfs_local, n_docs, avgdl_map, base, seg_n, id_ranges
             )
         if use_wand and isinstance(rq_for_exec, MultiTermQuery):
             docs, scores = _wand_multiterm_topk(
+                ev, rq_for_exec, local_k, del_local
+            )
+            return pd.DataFrame(
+                {"doc_id": [d + base for d in docs], "score": scores}
+            )
+        if use_bool_wand and isinstance(rq_for_exec, BooleanQuery):
+            docs, scores, _skipped = _wand_bool_topk(
                 ev, rq_for_exec, local_k, del_local
             )
             return pd.DataFrame(

@@ -96,3 +96,36 @@ def test_optimize_expunges(spark, fidx):
 def test_query_string_facade(spark, fidx):
     got = _hits(fidx.query("banana AND cherry", k=10))
     assert got == {0, 1}
+
+
+def test_bulk_delete_distributed(spark, tmp_path):
+    """Bulk deletes (10^4 ids) flow as a DataFrame through packed per-
+    segment __del__ rows — no driver-side set — and search + optimize
+    both honor them."""
+    import pyspark.sql.functions as F
+
+    n = 12000
+    rows = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tok"),
+            (F.col("id") % 7).cast("string"),
+            F.lit(" common"),
+        ).alias("content"),
+    )
+    idx = FerretIndex(spark, str(tmp_path / "bulk"), FC, seg_size=1024)
+    idx.add_documents(rows, doc_id_col="doc_id")
+    # delete every doc with tok0 (~1715 docs) plus an explicit wide range
+    idx.delete_by_query(T("tok0"))
+    extra = spark.range(2000, 12000).select(F.col("id").alias("doc_id"))
+    extra.write.mode("append").parquet(idx._deleted_path())
+
+    got = _hits(idx.search(T("common"), k=None))
+    live = {
+        i for i in range(2000) if i % 7 != 0
+    }
+    assert got == live
+    idx.optimize()
+    assert idx.size() == len(live)
+    got2 = _hits(idx.search(T("common"), k=None))
+    assert got2 == live

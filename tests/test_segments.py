@@ -184,3 +184,56 @@ def test_fql_string_query_end_to_end(golden_seg):
     q = p.parse('word1 AND word3 "quick brown fox"~4')
     exp = oracle.search(q, k=20)
     assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_filter_cache_reuses_range_expansion(golden_seg):
+    """Second execution of the same range filter must not touch the term
+    dictionary (frt_filter_get_bv caching analog): poison term_stats after
+    the first run and re-run."""
+    from ferret_spark.query import RangeQuery
+
+    from ferret_spark.wand import _range_to_const
+
+    _, sidx = golden_seg
+    q = RangeQuery(field="date", lower="20051006", upper="20051010", typed=False)
+    first = {r["doc_id"] for r in sidx.search(q, k=None).collect()}
+    assert ("range", "date", "20051006", "20051010", True, True, False) in (
+        sidx.filter_cache
+    )
+    # the cached rewrite must not re-scan the term dictionary: poison
+    # term_stats and re-run the rewrite
+    saved = sidx.term_stats
+    try:
+        sidx.term_stats = None  # would crash on any term-dict access
+        rw = _range_to_const(sidx, q)
+    finally:
+        sidx.term_stats = saved
+    assert set(rw.terms) and rw.field == "date"
+    second = {r["doc_id"] for r in sidx.search(q, k=None).collect()}
+    assert second == first
+
+
+def test_typed_range_pushdown_no_full_collect(golden_seg):
+    """Typed RangeQuery must filter term_stats IN SPARK (term_num column),
+    never collect the whole dictionary driver-side."""
+    from ferret_spark.query import RangeQuery
+    from ferret_spark.wand import _range_to_const, ConstantScoreTerms
+
+    _, sidx = golden_seg
+    q = RangeQuery(field="number", lower=-1.0, upper=1.0, typed=True)
+    rw = _range_to_const(sidx, q)
+    assert isinstance(rw, ConstantScoreTerms)
+    # term_num shadow column exists and the expansion matches a manual scan
+    assert "term_num" in sidx.term_stats.columns
+    import pyspark.sql.functions as F
+
+    expect = {
+        r["term"]
+        for r in sidx.term_stats.where(
+            (F.col("field") == "number")
+            & F.col("term_num").isNotNull()
+            & (F.col("term_num") >= -1.0)
+            & (F.col("term_num") <= 1.0)
+        ).collect()
+    }
+    assert set(rw.terms) == expect and len(expect) > 0
