@@ -29,7 +29,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("FERRET_BENCH_DOCS", "60000"))
+N_DOCS = int(os.environ.get("FERRET_BENCH_DOCS", "120000"))
 SKIP_SCALING = os.environ.get("FERRET_BENCH_SKIP_SCALING", "") == "1"
 FIELD_CONFIG = {"content": "standard_nostop", "lang": "keyword"}
 
@@ -70,8 +70,11 @@ def build_run(cores: int, out_dir: str) -> dict:
     # 64 segments: whole waves at both parallelism levels (8 and 32 cores)
     seg_size = max(256, (N_DOCS + 63) // 64)
     t0 = time.time()
+    # salt_buckets FIXED across parallelism levels so both scaling runs
+    # execute the identical plan shape (a cores-dependent value flips the
+    # N run into the two-stage salted merge while 4N takes one stage)
     builder = SegmentIndexBuilder(
-        spark, out_dir, FIELD_CONFIG, seg_size=seg_size, salt_buckets=max(4, cores)
+        spark, out_dir, FIELD_CONFIG, seg_size=seg_size, salt_buckets=16
     )
     idx = builder.build(corpus, id_cols=("repo", "path", "commit"))
     wall = time.time() - t0

@@ -59,31 +59,104 @@ FULL_ENGLISH_STOP_WORDS = frozenset(
 _WS_RE = re.compile(r"\S+")
 _LETTER_RE = re.compile(r"[A-Za-z]+")
 _LETTER_U_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
-# StandardTokenizer approximation, ordered alternation mirroring
-# c/src/scanner.in:8-42: URL-ish, email, acronym, hyphen/underscore compound
-# word, number, plain word. Possessive 's is stripped.
-_STANDARD_RE = re.compile(
-    r"""
-    [A-Za-z0-9]+://[^\s'"]+                      # URL
-  | [A-Za-z0-9_.+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+   # email
-  | (?:[A-Za-z]\.){2,}                           # acronym (dots stripped later)
-  | [+-]?\d+\.\d+                                # decimal number (before word)
-  | [A-Za-z0-9]+(?:[-_''][A-Za-z0-9]+)*          # word / compound
-  | [+-]?\d+                                     # signed integer
-    """,
-    re.VERBOSE,
-)
-_ACRONYM_RE = re.compile(r"^(?:[A-Za-z]\.){2,}$")
-_POSSESSIVE_RE = re.compile(r"['']s$")
 
 
-def _standard_post(tok: str) -> str:
-    # fast paths: regexes only when the token can possibly match
-    if "'" in tok or "'" in tok:
-        tok = _POSSESSIVE_RE.sub("", tok)
-    if "." in tok and _ACRONYM_RE.match(tok):
-        tok = tok.replace(".", "")
+def _std_regex(AL: str, AN: str) -> re.Pattern:
+    """StandardTokenizer as ONE ordered alternation mirroring the Ragel
+    rules (c/src/scanner.in:8-42 + url.rl + email.rl), in priority order
+    (longest-match ties in the scanner resolve the same way for every
+    golden in c/test/test_analysis.c):
+
+      url          alnum+ '://' urlc+        (proto http/https/ftp/file is
+                                              stripped afterward — the
+                                              scanner's `skip` action; one
+                                              trailing '/' truncated)
+      email        RFC2822 dot-atom@dot-atom (email.rl)
+      domain       subdomains + known TLD or 2-letter country (+port, /?)
+      possessive   token'[sS]? not followed by alnum  (trunc 1-2)
+      contraction  alpha+'alpha+                      (won't, we're)
+      acronym      (alpha '.')+ alpha                 (dots stripped)
+      company      token[&@]token?                    (Barnes&Noble, t@t)
+      decimal      [+-]?digits.digits
+      compound     alnum+([-_]alnum+)*                (e-mail, a_b, words)
+      signed int   [+-]digits
+
+    All alternatives are non-capturing (C-level str.findall stays on the
+    hot path) with possessive quantifiers so failed alternatives bail
+    without backtracking; the rule-specific skip/trunc/STRIP actions are
+    recovered afterward from the token TEXT in _std_fix (each transform
+    trigger — '://', trailing '/', trailing apostrophe, single-letter
+    dots — identifies its rule unambiguously)."""
+    atext = r"[A-Za-z0-9!#$%&'*+\-/=?^_`{|}~]"
+    urlc = r"[A-Za-z0-9.,/_\-@:]"
+    tld = r"com|edu|biz|gov|int|info|mil|net|org|[A-Za-z][A-Za-z]"
+    pat = (
+        rf"[A-Za-z0-9]++://{urlc}++"
+        rf"|{atext}++(?:\.{atext}++)*+@{atext}++(?:\.{atext}++)*+"
+        # domain/acronym unit-runs stay GREEDY: the required tail (tld /
+        # final letter) may need the last unit given back ("google.com."
+        # at sentence end, "I.B.M.")
+        rf"|(?:[A-Za-z0-9](?:[A-Za-z0-9\-]*[A-Za-z0-9])?\.)+"
+        rf"(?:{tld})(?::[0-9]++)?+/?+"
+        rf"|{AL}{AN}*+['’][sS]?(?!{AN}|['’])"
+        rf"|{AL}++['’]{AL}++"
+        rf"|(?:{AL}\.)+{AL}"
+        rf"|{AL}{AN}*+[&@](?:{AL}{AN}*+)?+"
+        rf"|[+\-]?+[0-9]++\.[0-9]++"
+        rf"|{AN}++(?:[-_]{AN}++)*+"
+        rf"|[+\-][0-9]++"
+    )
+    return re.compile(pat, re.UNICODE)
+
+
+_STANDARD_RE = _std_regex("[A-Za-z]", "[A-Za-z0-9]")
+_STANDARD_MB_RE = _std_regex(r"[^\W\d_]", r"[^\W_]")
+_PROTO_STRIP_RE = re.compile(r"^(?:https?|ftp|file):/+")
+_ACRO_FULL_RE = re.compile(r"(?:[^\W\d_]\.)+[^\W\d_]$", re.UNICODE)
+
+
+def _std_fix(tok: str) -> str:
+    """Scanner skip/trunc/STRIP actions, recovered from the token text.
+    Plain words (the overwhelming majority) cost three constant-time
+    checks."""
+    c0 = tok[-1]
+    if c0 in "/’'":
+        if "://" in tok:  # url: strip known proto + trailing slash
+            tok = _PROTO_STRIP_RE.sub("", tok)
+            return tok[:-1] if tok.endswith("/") else tok
+        return tok[:-1]  # bare domain trailing /, or possessive '
+    if "://" in tok:  # url without trailing slash
+        return _PROTO_STRIP_RE.sub("", tok)
+    if c0 in "sS" and len(tok) > 1 and tok[-2] in "'’":
+        return tok[:-2]  # possessive 's
+    if "." in tok and "@" not in tok and _ACRO_FULL_RE.match(tok):
+        return tok.replace(".", "")  # acronym
     return tok
+
+
+def _std_findall(text: str, rx: re.Pattern) -> list[str]:
+    out = []
+    for t in rx.findall(text):
+        t = _std_fix(t)
+        if t:
+            out.append(t)
+    return out
+
+
+def _hyphen_splittable(t: str) -> bool:
+    """HyphenFilter predicate (hf_next, c/src/analysis.c:1271-1335): split
+    only when the token PAST ITS FIRST CHAR is letters + at least one
+    hyphen and nothing else ('e-mail' splits; '123-1235-ASD-1234' and
+    '-52' don't)."""
+    if len(t) < 2:
+        return False
+    seen_hyphen = False
+    for ch in t[1:]:
+        if ch == "-":
+            seen_hyphen = True
+        elif not ch.isalpha():
+            return False
+    return seen_hyphen
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +171,9 @@ def _tokenize(text: str, kind: str) -> list[str]:
     if kind == "letter_unicode":
         return _LETTER_U_RE.findall(text)
     if kind == "standard":
-        return [_standard_post(t) for t in _STANDARD_RE.findall(text)]
+        return _std_findall(text, _STANDARD_RE)
+    if kind == "standard_mb":
+        return _std_findall(text, _STANDARD_MB_RE)
     raise ValueError(f"unknown tokenizer {kind!r}")
 
 
@@ -151,7 +226,7 @@ class Analyzer:
             pos += 1
             if self.stop_words is not None and t in self.stop_words:
                 continue  # position still advanced (pos_inc accumulation)
-            if self.hyphens and "-" in t and not t.startswith("-"):
+            if self.hyphens and _hyphen_splittable(t):
                 parts = [p for p in t.split("-") if p]
                 if len(parts) > 1:
                     # concat at the token's position, then each part with
@@ -185,11 +260,13 @@ class Analyzer:
         elif self.tokenizer == "letter_unicode":
             toks = s.str.findall(_LETTER_U_RE)
         elif self.tokenizer == "standard":
-            toks = s.str.findall(_STANDARD_RE)
+            toks = s.map(lambda t: _std_findall(t, _STANDARD_RE))
+        elif self.tokenizer == "standard_mb":
+            toks = s.map(lambda t: _std_findall(t, _STANDARD_MB_RE))
         else:
             raise ValueError(self.tokenizer)
-        # one fused pass: map + post-process + lowercase + stop + stem
-        post = self.tokenizer == "standard"
+        # one fused pass: map + lowercase + stop + stem (standard-rule
+        # transforms already applied inside _std_findall)
         lower = self.lowercase
         sw = self.stop_words
         mapped = self._map_re is not None
@@ -202,8 +279,6 @@ class Analyzer:
             for t in ts:
                 if mapped:
                     t = self._apply_map(t)
-                if post:
-                    t = _standard_post(t)
                 if lower:
                     t = t.lower()
                 if sw is not None and t in sw:
@@ -212,7 +287,7 @@ class Analyzer:
                 out.append(_stem(t) if do_stem else t)
             return out
 
-        if post or lower or sw is not None or mapped or do_stem:
+        if lower or sw is not None or mapped or do_stem:
             toks = toks.map(fix)
         return toks
 
@@ -233,18 +308,23 @@ class Analyzer:
             rx = _LETTER_U_RE
         elif self.tokenizer == "standard":
             rx = _STANDARD_RE
+        elif self.tokenizer == "standard_mb":
+            rx = _STANDARD_MB_RE
         else:
             raise ValueError(self.tokenizer)
+        std = self.tokenizer in ("standard", "standard_mb")
         if self.stem:
             from ferret_spark.porter import stem as _stem
         out = []
         pos = -1
         for m in rx.finditer(text):
             t = m.group(0)
+            if std:
+                t = _std_fix(t)
+                if not t:
+                    continue
             if self._map_re is not None:
                 t = self._apply_map(t)
-            if self.tokenizer == "standard":
-                t = _standard_post(t)
             if self.lowercase:
                 t = t.lower()
             pos += 1
@@ -269,6 +349,30 @@ ANALYZERS: dict[str, Analyzer] = {
         name="standard",
     ),
     "standard_nostop": Analyzer("standard", lowercase=True, name="standard_nostop"),
+    # multibyte StandardTokenizer (scanner_mb.c analog: unicode letters are
+    # word chars; URL/email sub-machines stay ASCII like the reference)
+    "standard_mb": Analyzer(
+        "standard_mb",
+        lowercase=True,
+        stop_words=FULL_ENGLISH_STOP_WORDS,
+        name="standard_mb",
+    ),
+    "standard_mb_nostop": Analyzer(
+        "standard_mb", lowercase=True, name="standard_mb_nostop"
+    ),
+    "standard_mb_raw": Analyzer(
+        "standard_mb", lowercase=False, name="standard_mb_raw"
+    ),
+    # full reference StandardAnalyzer chain incl. HyphenFilter
+    # (standard_analyzer_new_with_words; pairs surface only — hyphen
+    # emissions share positions)
+    "standard_hyphen": Analyzer(
+        "standard",
+        lowercase=True,
+        stop_words=ENGLISH_STOP_WORDS,
+        hyphens=True,
+        name="standard_hyphen",
+    ),
     "hyphen_ws": Analyzer(
         "whitespace", lowercase=True, hyphens=True, name="hyphen_ws"
     ),

@@ -135,10 +135,19 @@ class FerretIndex:
         return self
 
     def _segment_stats(self) -> dict:
-        from ferret_spark.segments import corpus_stats_from_segments
+        from ferret_spark.segments import (
+            corpus_stats_from_marker_files,
+            corpus_stats_from_segments,
+        )
 
-        segs = self.spark.read.parquet(os.path.join(self.path, "segments"))
-        return corpus_stats_from_segments(self.spark, segs, self.field_config)
+        seg_dir = os.path.join(self.path, "segments")
+        stats = corpus_stats_from_marker_files(seg_dir, self.field_config)
+        if stats is None:
+            segs = self.spark.read.parquet(seg_dir)
+            stats = corpus_stats_from_segments(
+                self.spark, segs, self.field_config
+            )
+        return stats
 
     def _refresh_derived(self):
         segs = self.spark.read.parquet(os.path.join(self.path, "segments"))
@@ -319,7 +328,8 @@ class FerretIndex:
         segs2 = self.spark.read.parquet(final)
         merged = merge_segments(segs2, self.salt_buckets)
         mtmp = os.path.join(self.path, "merged.tmp")
-        merged.repartitionByRange("field", "term").sortWithinPartitions(
+        # merge input is range-partitioned by (field, term); local sort only
+        merged.sortWithinPartitions(
             "field", "term"
         ).write.mode("overwrite").parquet(mtmp)
         mfinal = os.path.join(self.path, "merged")

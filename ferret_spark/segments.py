@@ -388,7 +388,15 @@ def merge_segments(
         seg_per_bucket = max(1, (n_segments + salt_buckets - 1) // salt_buckets)
 
     if n_segments <= salt_buckets * 8:
-        return _concat_stage(segments, ["field", "term"]).select(
+        # range-partition the INPUT by (field, term): the groupBy reuses
+        # the partitioning (no second shuffle) and the output comes out
+        # range-organized, so the writer needs NO repartitionByRange — a
+        # range sampler over the merge OUTPUT would execute the whole
+        # merge twice (RangePartitioner samples its child)
+        spark = segments.sparkSession
+        n_part = max(4, spark.sparkContext.defaultParallelism)
+        src = segments.repartitionByRange(n_part, "field", "term")
+        return _concat_stage(src, ["field", "term"]).select(
             "field", "term", "df",
             "doc_bin", "tf_bin", "pos_bin", "dl_bin", "block_meta",
         )
@@ -471,6 +479,59 @@ def parquet_rows(path: str) -> int:
             if fn.endswith(".parquet"):
                 total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
     return total
+
+
+def corpus_stats_from_marker_files(
+    seg_dir: str, field_config: dict, n_docs_fallback: int = 0
+) -> dict | None:
+    """Driver-side fast path for small indexes: decode the doc-length
+    marker rows straight from the parquet foot-filtered files (no Spark
+    job — job-launch latency is serial fraction against the scaling
+    gate). Returns None if the marker count is too big for the driver
+    (the Spark path handles those)."""
+    import pyarrow.dataset as ds
+
+    from ferret_spark.codec import decode_posting_list
+
+    dataset = ds.dataset(seg_dir, format="parquet")
+    tbl = dataset.to_table(
+        columns=["field", "df", "doc_bin", "tf_bin", "pos_bin", "dl_bin",
+                 "block_meta"],
+        filter=ds.field("term").is_null(),
+    )
+    if tbl.num_rows > 100_000:
+        return None
+    agg: dict[str, list] = {}
+    for r in tbl.to_pylist():
+        _ids, _tfs, _pos, dls = decode_posting_list(
+            {
+                "doc_bin": r["doc_bin"],
+                "tf_bin": r["tf_bin"],
+                "pos_bin": r["pos_bin"],
+                "dl_bin": r["dl_bin"],
+                "block_meta": _bm_dicts(r["block_meta"]),
+                "df": r["df"],
+            },
+            with_positions=False,
+        )
+        a = agg.setdefault(r["field"], [0, 0, 0, 1 << 62])
+        a[0] += len(dls)
+        a[1] += int(dls.sum())
+        a[2] = max(a[2], int(dls.max()))
+        a[3] = min(a[3], int(dls.min()))
+    n_docs = max((a[0] for a in agg.values()), default=n_docs_fallback)
+    stats = {"n_docs": n_docs, "avgdl": {}, "dl_max": {}, "dl_min": {}}
+    for field, aname in field_config.items():
+        if aname == "keyword" or field not in agg:
+            stats["avgdl"][field] = 1.0
+            stats["dl_max"][field] = 1
+            stats["dl_min"][field] = 1
+            continue
+        a = agg[field]
+        stats["avgdl"][field] = float(a[1]) / max(a[0], 1)
+        stats["dl_max"][field] = a[2]
+        stats["dl_min"][field] = a[3]
+    return stats
 
 
 def corpus_stats_from_segments(
@@ -646,13 +707,11 @@ class SegmentIndexBuilder:
             merged = merge_segments(
                 segs, self.salt_buckets, n_segments=n_segments
             )
+            # merged rows are already partitioned by (field, term) — merge
+            # input was range-partitioned — so only a partition-local sort
+            # is needed for parquet rowgroup stats (term-dict pruning)
             (
-                merged.repartitionByRange(
-                    max(1, spark.sparkContext.defaultParallelism // 2),
-                    "field",
-                    "term",
-                )
-                .sortWithinPartitions("field", "term")
+                merged.sortWithinPartitions("field", "term")
                 .write.mode("overwrite")
                 .parquet(merged_dir)
             )
@@ -681,10 +740,14 @@ class SegmentIndexBuilder:
         if "meta" not in self._done():
             t0 = time.time()
             n_docs = int(self._done().get("docs", {}).get("rows", 0))
-            segs = spark.read.parquet(seg_dir)
-            stats = corpus_stats_from_segments(
-                spark, segs, self.field_config, n_docs_fallback=n_docs
+            stats = corpus_stats_from_marker_files(
+                seg_dir, self.field_config, n_docs_fallback=n_docs
             )
+            if stats is None:  # marker count too large for the driver
+                segs = spark.read.parquet(seg_dir)
+                stats = corpus_stats_from_segments(
+                    spark, segs, self.field_config, n_docs_fallback=n_docs
+                )
             meta = {
                 "stats": stats,
                 "field_config": self.field_config,

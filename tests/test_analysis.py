@@ -77,12 +77,74 @@ def test_standard_tokenizer_rules():
     a = Analyzer("standard", lowercase=True)
     got = terms(a.analyze("Dave's résumé, at http://www.davebalmain.com/ 1234.23"))
     assert "dave" in got
-    assert "http://www.davebalmain.com/" in got
+    # known-proto URLs drop the proto (scanner `skip`) + trailing slash
+    assert "www.davebalmain.com" in got
     assert "1234.23" in got
     # acronym dots stripped
     assert terms(a.analyze("I.B.M. rocks")) == ["ibm", "rocks"]
     # hyphen compound kept whole
     assert terms(a.analyze("wal-mart under_score")) == ["wal-mart", "under_score"]
+
+
+# token-by-token goldens from the reference test suite
+# (do_standard_tokenizer / do_mb_standard_tokenizer / test_standard_analyzer,
+# c/test/test_analysis.c:484-700)
+STD_TOK_TEXT = (
+    "DBalmain@gmail.com is My e-mail -52  #$ Address. 23#!$ "
+    "http://www.google.com/results/ T.N.T. 123-1235-ASD-1234 "
+    "underscored_word, won't we're"
+)
+STD_TOK_EXPECT = [
+    "DBalmain@gmail.com", "is", "My", "e-mail", "-52", "Address", "23",
+    "www.google.com/results", "TNT", "123-1235-ASD-1234",
+    "underscored_word", "won't", "we're",
+]
+
+
+def test_standard_tokenizer_reference_goldens():
+    a = Analyzer("standard", lowercase=False)
+    assert terms(a.analyze(STD_TOK_TEXT)) == STD_TOK_EXPECT
+
+
+def test_mb_standard_tokenizer_reference_goldens():
+    text = (
+        STD_TOK_TEXT + " 23#!$ ÁÄGÇ®ÊËÌ¯ÚØÃ¬ÖÎÍ "
+        "badchar it's groups' Barnes&Noble file:///home/user/ "
+        "svn://www.davebalmain.com/ www,.google.com www.google.com "
+        "dave@balmain@gmail.com \"quoted string\" continue *star"
+    )
+    expect = STD_TOK_EXPECT + [
+        "23", "ÁÄGÇ", "ÊËÌ", "ÚØÃ", "ÖÎÍ",
+        "badchar", "it", "groups", "Barnes&Noble", "home/user",
+        "svn://www.davebalmain.com", "www", "google.com", "www.google.com",
+        "dave@balmain", "gmail.com", "quoted", "string", "continue", "star",
+    ]
+    a = Analyzer("standard_mb", lowercase=False)
+    assert terms(a.analyze(text)) == expect
+
+
+def test_standard_analyzer_reference_goldens():
+    # test_standard_analyzer (c/test/test_analysis.c:591-615): full chain
+    # with HyphenFilter — (term, position) pairs derived from the golden
+    # pos_inc stream 1,2,1,0,1,3,1,1,1,1
+    text = (
+        "DBalmain@gmail.com is My e-mail and the Address. -23!$ "
+        "http://www.google.com/results/ T.N.T. 123-1235-ASD-1234"
+    )
+    a = get_analyzer("standard_hyphen")
+    got = a.analyze(text)
+    assert got == [
+        ("dbalmain@gmail.com", 0),
+        ("my", 2),
+        ("email", 3),
+        ("e", 3),
+        ("mail", 4),
+        ("address", 7),
+        ("-23", 8),
+        ("www.google.com/results", 9),
+        ("tnt", 10),
+        ("123-1235-asd-1234", 11),
+    ]
 
 
 def test_pandas_surface_matches_python():
