@@ -388,14 +388,16 @@ def merge_segments(
         seg_per_bucket = max(1, (n_segments + salt_buckets - 1) // salt_buckets)
 
     if n_segments <= salt_buckets * 8:
-        # range-partition the INPUT by (field, term): the groupBy reuses
-        # the partitioning (no second shuffle) and the output comes out
-        # range-organized, so the writer needs NO repartitionByRange — a
-        # range sampler over the merge OUTPUT would execute the whole
-        # merge twice (RangePartitioner samples its child)
+        # hash-partition the INPUT by (field, term): the groupBy reuses the
+        # partitioning (one shuffle total) and the writer needs no output
+        # repartition. NOT repartitionByRange — the RangePartitioner's
+        # sampling job reads the entire child (posting binaries included)
+        # a second time; and not on the OUTPUT either, which would execute
+        # the whole merge twice. Files stay sorted within partitions, so
+        # parquet rowgroup min/max stats still prune term lookups.
         spark = segments.sparkSession
         n_part = max(4, spark.sparkContext.defaultParallelism)
-        src = segments.repartitionByRange(n_part, "field", "term")
+        src = segments.repartition(n_part, "field", "term")
         return _concat_stage(src, ["field", "term"]).select(
             "field", "term", "df",
             "doc_bin", "tf_bin", "pos_bin", "dl_bin", "block_meta",
