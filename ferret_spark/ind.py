@@ -45,11 +45,13 @@ class FerretIndex:
         field_config: dict[str, str] | None = None,
         seg_size: int = 4096,
         salt_buckets: int = 8,
+        merge_factor: int = 10,
     ):
         self.spark = spark
         self.path = path
         self.seg_size = seg_size
         self.salt_buckets = salt_buckets
+        self.merge_factor = merge_factor
         self._idx: SegmentIndex | None = None
         if os.path.exists(os.path.join(path, "meta.json")):
             self._idx = SegmentIndex.load(spark, path)
@@ -82,6 +84,13 @@ class FerretIndex:
             self._idx = b.build(df, id_cols=id_cols, doc_id_col=doc_id_col)
             meta = self._meta()
             meta["id_ranges"] = [[0, meta["stats"]["n_docs"]]]
+            meta["generations"] = [
+                {
+                    "merged": "merged",
+                    "term_stats": "term_stats",
+                    "rows": meta["stats"]["n_docs"],
+                }
+            ]
             self._write_meta(meta)
             self._idx = SegmentIndex.load(self.spark, self.path)
             return self
@@ -119,12 +128,50 @@ class FerretIndex:
             self.seg_size,
         )
         segs.write.mode("append").parquet(os.path.join(self.path, "segments"))
-        # refresh stats (global df/N/avgdl must stay global)
-        self._refresh_derived()
+        # the batch becomes its own merge GENERATION (tiered policy,
+        # iw_maybe_merge_segments analog): merge cost stays O(batch), not
+        # O(index); tiers collapse geometrically in _maybe_merge_generations
         meta = self._meta()
+        gens = meta.get("generations") or [
+            {
+                "merged": "merged",
+                "term_stats": "term_stats",
+                "rows": meta["stats"]["n_docs"],
+            }
+        ]
+        gname = f"generations/g{int(time.time() * 1000)}"
+        gdir = os.path.join(self.path, gname)
+        batch_segs = self.spark.read.parquet(
+            os.path.join(self.path, "segments")
+        ).where(F.col("seg_id") >= base // self.seg_size)
+        gen_merged = merge_segments(batch_segs, self.salt_buckets)
+        gen_merged.sortWithinPartitions("field", "term").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(gdir, "merged"))
+        (
+            self.spark.read.parquet(os.path.join(gdir, "merged"))
+            .select(
+                "field",
+                "term",
+                "df",
+                F.expr("try_cast(term as double)").alias("term_num"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(gdir, "term_stats"))
+        )
+        gens.append(
+            {
+                "merged": f"{gname}/merged",
+                "term_stats": f"{gname}/term_stats",
+                "rows": n_new,
+            }
+        )
+        meta["generations"] = gens
         meta["id_ranges"] = ranges + [[base, base + n_new]]
         meta["stats"] = self._segment_stats()
         self._write_meta(meta)
+        self._maybe_merge_generations()
+        meta = self._meta()
         append_manifest(
             self.spark,
             self.path,
@@ -170,6 +217,69 @@ class FerretIndex:
         meta = self._meta()
         meta["merged_stale"] = True
         self._write_meta(meta)
+
+    def _maybe_merge_generations(self, merge_factor: int | None = None):
+        """Collapse the smallest generations while more than merge_factor
+        exist (geometric/tiered policy, iw_maybe_merge_segments
+        c/src/index.c:6280-6309 with the reference default factor 10).
+        Only the chosen small tiers are rewritten — big generations are
+        untouched, so K incremental adds cost O(K * batch * log), never
+        O(index) per add."""
+        factor = merge_factor or self.merge_factor
+        while True:
+            meta = self._meta()
+            gens = meta.get("generations", [])
+            if len(gens) <= factor:
+                return
+            from ferret_spark.segments import _concat_stage
+
+            by_size = sorted(gens, key=lambda g: g["rows"])
+            victims = by_size[:factor]
+            keep = [g for g in gens if g not in victims]
+            union = None
+            for g in victims:
+                m = self.spark.read.parquet(
+                    os.path.join(self.path, g["merged"])
+                )
+                union = m if union is None else union.unionByName(m)
+            n_part = max(
+                4, self.spark.sparkContext.defaultParallelism
+            )
+            merged = _concat_stage(
+                union.repartition(n_part, "field", "term"),
+                ["field", "term"],
+            )
+            gname = f"generations/g{int(time.time() * 1000)}"
+            gdir = os.path.join(self.path, gname)
+            merged.sortWithinPartitions("field", "term").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(gdir, "merged"))
+            (
+                self.spark.read.parquet(os.path.join(gdir, "merged"))
+                .select(
+                    "field",
+                    "term",
+                    "df",
+                    F.expr("try_cast(term as double)").alias("term_num"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(gdir, "term_stats"))
+            )
+            import shutil
+
+            for g in victims:
+                gd = os.path.dirname(os.path.join(self.path, g["merged"]))
+                if os.path.basename(gd) != self.path and g["merged"] != "merged":
+                    shutil.rmtree(gd, ignore_errors=True)
+            keep.append(
+                {
+                    "merged": f"{gname}/merged",
+                    "term_stats": f"{gname}/term_stats",
+                    "rows": sum(g["rows"] for g in victims),
+                }
+            )
+            meta["generations"] = keep
+            self._write_meta(meta)
 
     # -------------------------------------------------------------- deletes
     def _deleted_path(self) -> str:
@@ -336,6 +446,16 @@ class FerretIndex:
         shutil.rmtree(mfinal, ignore_errors=True)
         os.rename(mtmp, mfinal)
         self._refresh_derived()
+        # all generations collapse into the rebuilt base
+        import shutil as _sh
+
+        _sh.rmtree(os.path.join(self.path, "generations"), ignore_errors=True)
+        meta0 = self._meta()
+        meta0["generations"] = [
+            {"merged": "merged", "term_stats": "term_stats",
+             "rows": meta0["stats"]["n_docs"]}
+        ]
+        self._write_meta(meta0)
         # remove deleted rows from the docs table + stats (anti-join — the
         # deleted set never reaches the driver)
         if has_deletes:

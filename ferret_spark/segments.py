@@ -788,14 +788,44 @@ class SegmentIndex:
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         seg_raw = spark.read.parquet(os.path.join(path, "segments"))
+        gens = meta.get("generations")
+        if gens and len(gens) > 1:
+            # LSM view over merge generations (tiered merge policy,
+            # iw_maybe_merge_segments analog c/src/index.c:6280-6309):
+            # merged = union of per-generation global indexes (each
+            # internally one row per (field, term)); term_stats = lazily
+            # aggregated union — a term filter pushes below the union and
+            # the aggregate, so df lookups stay cheap
+            merged = None
+            ts = None
+            for g in gens:
+                m = spark.read.parquet(os.path.join(path, g["merged"]))
+                t = spark.read.parquet(os.path.join(path, g["term_stats"]))
+                merged = m if merged is None else merged.unionByName(m)
+                ts = t if ts is None else ts.unionByName(
+                    t.select(*ts.columns)
+                )
+            term_stats = (
+                ts.groupBy("field", "term")
+                .agg(F.sum("df").alias("df"))
+                .withColumn("term_num", F.expr("try_cast(term as double)"))
+            )
+        elif gens:  # exactly one generation — possibly a collapsed tier
+            merged = spark.read.parquet(os.path.join(path, gens[0]["merged"]))
+            term_stats = spark.read.parquet(
+                os.path.join(path, gens[0]["term_stats"])
+            )
+        else:
+            merged = spark.read.parquet(os.path.join(path, "merged"))
+            term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
         idx = cls(
             spark,
             path,
             spark.read.parquet(os.path.join(path, "docs")),
             # NULL-term rows are per-segment doc-length markers, not postings
             seg_raw.where(F.col("term").isNotNull()),
-            spark.read.parquet(os.path.join(path, "merged")),
-            spark.read.parquet(os.path.join(path, "term_stats")),
+            merged,
+            term_stats,
             meta,
         )
         idx.seg_markers = seg_raw.where(F.col("term").isNull())

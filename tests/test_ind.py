@@ -129,3 +129,62 @@ def test_bulk_delete_distributed(spark, tmp_path):
     assert idx.size() == len(live)
     got2 = _hits(idx.search(T("common"), k=None))
     assert got2 == live
+
+
+def test_geometric_merge_policy_tier_local(spark, tmp_path):
+    """K incremental batches: only small tiers merge (the big base
+    generation's files are untouched), generation count stays bounded by
+    merge_factor, and search results equal a from-scratch rebuild
+    (iw_maybe_merge_segments analog, c/src/index.c:6280-6309)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha tok"), (F.col("id") % 5).cast("string")
+            ).alias("content"),
+        )
+
+    idx = FerretIndex(
+        spark, str(tmp_path / "geo"), FC, seg_size=64, merge_factor=2
+    )
+    idx.add_documents(batch(0, 512), doc_id_col="doc_id")
+    base_meta = idx._meta()
+    assert base_meta["generations"][0]["merged"] == "merged"
+    base_mtime = os.path.getmtime(str(tmp_path / "geo" / "merged"))
+
+    for k in range(3):  # three incremental adds with factor 2
+        b = batch(0, 40)  # ids re-based internally
+        idx.add_documents(b, doc_id_col="doc_id")
+        gens = idx._meta()["generations"]
+        assert len(gens) <= 2, gens
+        # the base generation is never rewritten by tier-local merges
+        assert os.path.getmtime(str(tmp_path / "geo" / "merged")) == base_mtime
+        assert any(g["merged"] == "merged" for g in gens)
+
+    # global df/search correctness vs a from-scratch rebuild
+    got = {
+        (r["doc_id"], round(r["score"], 4))
+        for r in idx.search(T("alpha"), k=None).collect()
+    }
+    rebuilt = FerretIndex(
+        spark, str(tmp_path / "geo_rebuild"), FC, seg_size=64
+    )
+    all_docs = idx.index.docs.select("doc_id", "content")
+    rebuilt.add_documents(all_docs, doc_id_col="doc_id")
+    want = {
+        (r["doc_id"], round(r["score"], 4))
+        for r in rebuilt.search(T("alpha"), k=None).collect()
+    }
+    assert got == want
+    # optimize() collapses everything back to one generation
+    idx.optimize()
+    assert len(idx._meta()["generations"]) == 1
+    got2 = {
+        (r["doc_id"], round(r["score"], 4))
+        for r in idx.search(T("alpha"), k=None).collect()
+    }
+    assert got2 == want
