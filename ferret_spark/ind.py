@@ -181,6 +181,89 @@ class FerretIndex:
         self._idx = SegmentIndex.load(self.spark, self.path)
         return self
 
+    def add_index(self, other: "FerretIndex"):
+        """Bulk-append another prebuilt index WITHOUT re-tokenizing
+        (iw_add_readers analog, c/src/index.c:6530-6750): compressed
+        posting bytes copy verbatim; only the absolute ids in block_meta
+        shift by the id base (the codec's delta streams are
+        block-relative). The appended index becomes one new merge
+        generation; global stats refresh from the shifted doc-length
+        markers."""
+        from ferret_spark.segments import shift_posting_rows
+
+        assert self._idx is not None, "add documents first"
+        o = other.index
+        assert o.seg_size == self.seg_size, "segment sizes must match"
+        assert o.field_config == self.field_config, "field configs must match"
+        assert other.deleted_df() is None, (
+            "source has pending deletes — optimize() it first"
+        )
+        meta = self._meta()
+        ranges = meta.get("id_ranges", [[0, meta["stats"]["n_docs"]]])
+        next_id = max(r[1] for r in ranges)
+        base = (
+            (next_id + self.seg_size - 1) // self.seg_size
+        ) * self.seg_size
+        seg_shift = base // self.seg_size
+
+        shifted_docs = o.docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(base)
+        )
+        shifted_docs.write.mode("append").parquet(
+            os.path.join(self.path, "docs")
+        )
+        src_segs = self.spark.read.parquet(os.path.join(other.path, "segments"))
+        shift_posting_rows(src_segs, base, seg_shift).write.mode(
+            "append"
+        ).parquet(os.path.join(self.path, "segments"))
+
+        # the shifted source's global index becomes a new generation
+        gname = f"generations/g{int(time.time() * 1000)}"
+        gdir = os.path.join(self.path, gname)
+        shift_posting_rows(o.merged, base).sortWithinPartitions(
+            "field", "term"
+        ).write.mode("overwrite").parquet(os.path.join(gdir, "merged"))
+        (
+            self.spark.read.parquet(os.path.join(gdir, "merged"))
+            .select(
+                "field",
+                "term",
+                "df",
+                F.expr("try_cast(term as double)").alias("term_num"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(gdir, "term_stats"))
+        )
+        gens = meta.get("generations") or [
+            {
+                "merged": "merged",
+                "term_stats": "term_stats",
+                "rows": meta["stats"]["n_docs"],
+            }
+        ]
+        gens.append(
+            {
+                "merged": f"{gname}/merged",
+                "term_stats": f"{gname}/term_stats",
+                "rows": o.stats["n_docs"],
+            }
+        )
+        meta["generations"] = gens
+        meta["id_ranges"] = ranges + [
+            [lo + base, hi + base] for lo, hi in o.id_ranges
+        ]
+        meta["stats"] = self._segment_stats()
+        self._write_meta(meta)
+        self._maybe_merge_generations()
+        append_manifest(
+            self.spark,
+            self.path,
+            f"add_index_{int(time.time())}",
+            {"rows": o.stats["n_docs"], "bytes": -1},
+        )
+        self._idx = SegmentIndex.load(self.spark, self.path)
+        return self
+
     def _segment_stats(self) -> dict:
         from ferret_spark.segments import (
             corpus_stats_from_marker_files,
@@ -313,11 +396,14 @@ class FerretIndex:
         return n
 
     # -------------------------------------------------------------- search
-    def search(self, q: Query, k: int | None = 10, offset: int = 0) -> DataFrame:
+    def search(
+        self, q: Query, k: int | None = 10, offset: int = 0, post_filter=None
+    ) -> DataFrame:
         from ferret_spark.wand import segment_search
 
         return segment_search(
-            self.index, q, k=k, offset=offset, deleted=self.deleted_df()
+            self.index, q, k=k, offset=offset, deleted=self.deleted_df(),
+            post_filter=post_filter,
         )
 
     def query(self, fql: str, k: int = 10, **kw) -> DataFrame:

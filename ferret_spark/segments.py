@@ -417,6 +417,40 @@ def merge_segments(
 # manifest / staged build with resume
 
 
+def shift_posting_rows(
+    df: DataFrame, id_shift: int, seg_shift: int | None = None
+) -> DataFrame:
+    """Shift every absolute doc id in posting rows by ``id_shift`` WITHOUT
+    re-encoding: the codec's delta streams are block-relative (each
+    block's ids decode as cumsum(deltas) + block_meta.first), so only
+    block_meta.first/last move — the compressed doc/tf/pos/dl bytes are
+    copied verbatim. This is what makes reader-to-reader index appends
+    (iw_add_readers analog, c/src/index.c:6530-6750) O(metadata), not
+    O(re-tokenize). Doc-length marker rows shift identically."""
+    has_seg = seg_shift is not None
+    schema = df.schema
+
+    def fix(batches):
+        for pdf in batches:
+            if has_seg and len(pdf):
+                pdf["seg_id"] = pdf["seg_id"] + seg_shift
+
+            def shift_bms(bms):
+                out = []
+                for bm in _bm_dicts(bms):
+                    bm = dict(bm)
+                    bm["first"] = int(bm["first"]) + id_shift
+                    bm["last"] = int(bm["last"]) + id_shift
+                    out.append(tuple(bm[k] for k in _BM_KEYS))
+                return out
+
+            if len(pdf):
+                pdf["block_meta"] = pdf["block_meta"].map(shift_bms)
+            yield pdf
+
+    return df.mapInPandas(fix, schema)
+
+
 def _manifest_path(path: str) -> str:
     return os.path.join(path, "manifest")
 
@@ -859,6 +893,7 @@ class SegmentIndex:
         prune: bool = True,
         similarity: str = "bm25",
         doc_boosts: dict[int, float] | None = None,
+        post_filter=None,
     ):
         from ferret_spark.wand import segment_search
 
@@ -870,6 +905,7 @@ class SegmentIndex:
             prune=prune,
             similarity=similarity,
             doc_boosts=doc_boosts,
+            post_filter=post_filter,
         )
 
     def query(self, fql: str, k: int = 10, offset: int = 0, **parser_kw):

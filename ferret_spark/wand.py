@@ -1025,10 +1025,20 @@ def segment_search(
     deleted=None,
     similarity: str = "bm25",
     doc_boosts: dict[int, float] | None = None,
+    post_filter=None,
 ) -> DataFrame:
     """``deleted`` is a DataFrame with a doc_id column (distributed path —
     each segment task receives only ITS deletions as a packed binary row)
-    or, legacy, a small driver-side set."""
+    or, legacy, a small driver-side set.
+
+    ``post_filter`` is the reference's user extension hook
+    (FrtPostFilter, c/include/search.h:763-769 applied in isea_search_w
+    c/src/search.c:1078-1092): callable(doc_id, score) -> factor; falsy
+    drops the hit, factor < 1.0 scales the score. It is pickled into the
+    scoring closure and runs executor-side BEFORE per-segment top-k, so
+    pruned results stay correct. Block-max pruning is disabled under a
+    post_filter (the reference's scorer loop likewise visits every hit).
+    """
     rq = wand_rewrite(index, q)
     pairs = sorted(set(_collect_terms(rq)))
     n_docs = index.n_docs
@@ -1132,6 +1142,7 @@ def segment_search(
     use_wand = (
         prune
         and similarity == "bm25"
+        and post_filter is None
         and local_k is not None
         and isinstance(rq, MultiTermQuery)
         and len(rq.terms) <= 32
@@ -1139,6 +1150,7 @@ def segment_search(
     use_bool_wand = (
         prune
         and similarity == "bm25"
+        and post_filter is None
         and local_k is not None
         and _bool_wandable(rq)
     )
@@ -1229,6 +1241,13 @@ def segment_search(
         mask, score = ev.eval(rq_for_exec)
         if del_local is not None and len(del_local):
             mask[del_local] = False
+        if post_filter is not None:
+            for d in np.flatnonzero(mask):
+                f = post_filter(int(d) + base, float(score[d]))
+                if not f:
+                    mask[d] = False
+                elif f < 1.0:
+                    score[d] = score[d] * f
         locs = np.flatnonzero(mask)
         if local_k is not None and len(locs) > local_k:
             s = score[locs]

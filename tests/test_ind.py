@@ -188,3 +188,67 @@ def test_geometric_merge_policy_tier_local(spark, tmp_path):
         for r in idx.search(T("alpha"), k=None).collect()
     }
     assert got2 == want
+
+
+def test_post_filter_hook(spark, fidx):
+    """PostFilter (c/include/search.h:763-769): falsy factor drops the
+    hit, factor < 1.0 scales the score."""
+    base = {r["doc_id"]: r["score"] for r in fidx.search(T("cherry"), k=None).collect()}
+    assert set(base) == {0, 1, 2}
+
+    def pf(doc_id, score):
+        if doc_id == 1:
+            return 0.0  # drop
+        if doc_id == 2:
+            return 0.5  # halve
+        return 1.0
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in fidx.search(T("cherry"), k=None, post_filter=pf).collect()
+    }
+    assert set(got) == {0, 2}
+    assert abs(got[0] - base[0]) < 1e-6
+    assert abs(got[2] - base[2] * 0.5) < 1e-6
+
+
+def test_add_index_reader_to_reader(spark, tmp_path):
+    """iw_add_readers analog: append a prebuilt index byte-for-byte
+    (shifted ids), no re-tokenize; results match indexing the union."""
+    import pyspark.sql.functions as F
+
+    def mk(path, lo, hi, word):
+        rows = spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(f"{word} shared tok"),
+                     (F.col("id") % 3).cast("string")).alias("content"),
+        )
+        idx = FerretIndex(spark, str(tmp_path / path), FC, seg_size=32)
+        idx.add_documents(rows, doc_id_col="doc_id")
+        return idx
+
+    a = mk("ia", 0, 100, "alpha")
+    b = mk("ib", 0, 60, "beta")
+    a.add_index(b)
+    assert a.size() == 160
+    # all of b's docs found under shifted ids, with correct per-term hits
+    alpha = _hits(a.search(T("alpha"), k=None))
+    beta = _hits(a.search(T("beta"), k=None))
+    assert len(alpha) == 100 and len(beta) == 60
+    assert not (alpha & beta)
+    shared = _hits(a.search(T("shared"), k=None))
+    assert shared == alpha | beta
+    # scores match a from-scratch index over the union (global df/avgdl)
+    union = a.index.docs.select("doc_id", "content")
+    fresh = FerretIndex(spark, str(tmp_path / "iu"), FC, seg_size=32)
+    fresh.add_documents(union, doc_id_col="doc_id")
+    got = {(r["doc_id"], round(r["score"], 5))
+           for r in a.search(T("shared"), k=None).collect()}
+    want = {(r["doc_id"], round(r["score"], 5))
+            for r in fresh.search(T("shared"), k=None).collect()}
+    assert got == want
+    # positional queries survive the byte-copy (positions never re-encoded)
+    from ferret_spark.query import PhraseQuery
+
+    ph = _hits(a.search(PhraseQuery.of("content", ["beta", "shared"]), k=None))
+    assert ph == beta
