@@ -385,6 +385,81 @@ def ann_lsh_topk(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+ANN_BATCH_PLANES = 6  # 64 LSH buckets
+ANN_BATCH_CAP = 200  # max vectors per bucket entering pair enumeration
+ANN_BATCH_K = 5
+
+
+def _plane_literals(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplanes as plain float64 literals — inlined into
+    BOTH the Spark expression and the DuckDB twin, so the bucketing is
+    bit-identical across engines."""
+    return [[float(x) for x in row] for row in _hyperplanes(dim, n_planes, seed)]
+
+
+def _bucket_expr_sql(vec: str, planes: list[list[float]]) -> str:
+    """Spark SQL: LSH bucket id = sign-bit pattern of plane projections."""
+    parts = []
+    for p, plane in enumerate(planes):
+        arr = ", ".join(repr(c) for c in plane)
+        dot = (
+            f"aggregate(zip_with({vec}, array({arr}), (x, y) -> x * y),"
+            f" 0D, (s, x) -> s + x)"
+        )
+        parts.append(f"IF({dot} > 0, {1 << p}, 0)")
+    return " + ".join(parts)
+
+
+def ann_batch_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = ANN_BATCH_K,
+    n_planes: int = ANN_BATCH_PLANES,
+    bucket_cap: int = ANN_BATCH_CAP,
+) -> DataFrame:
+    """Batch (all-vectors) approximate nearest neighbors — the dedup-style
+    'k neighbors for EVERY vector' join. Candidate generation is a bucket
+    groupBy on a deterministic random-hyperplane LSH signature (never an
+    all-pairs join: a bucket of M vectors enumerates pairs in-row with an
+    M cap), then exact cosine re-ranks and a per-vector window keeps the
+    top k. Recall is single-probe LSH (the scale trade the brief asks
+    for); the brute-force exactness baseline is ann_cosine_topk."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    )
+    dim = len(_emb(spark, sf_dir).select("embedding").first()[0])
+    planes = _plane_literals(dim, n_planes)
+    bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_sql("e", planes)))
+    groups = (
+        bucketed.groupBy("bucket")
+        .agg(F.collect_list(F.struct("vec_id", "e")).alias("vs"))
+        .where((F.size("vs") >= 2) & (F.size("vs") <= bucket_cap))
+    )
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(vs, x -> transform(vs,"
+                " y -> struct(x.vec_id AS vec_id, x.e AS ev,"
+                " y.vec_id AS nbr, y.e AS en)))), p -> p.vec_id != p.nbr)"
+            )
+        ).alias("p")
+    ).select(
+        "p.vec_id",
+        "p.nbr",
+        F.round(_cosine_expr("p.ev", "p.en"), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "rank", "nbr", "cosine")
+        .orderBy("vec_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
