@@ -567,6 +567,66 @@ def decode_image(payload: bytes):  # pragma: no cover - real decode stubbed
     raise NotImplementedError("image decode requires PIL; stubbed in sandbox")
 
 
+def media_resize(
+    media: DataFrame, out_w: int = 64, out_h: int = 64
+) -> DataFrame:
+    """Resize plumbing over binary media via mapInPandas (Arrow batches).
+    The real pixel decode/resample requires PIL/libvips (not in this
+    container) — the stand-in is a deterministic byte-downsample that
+    preserves the pipeline shape exactly: binary in -> binary out with
+    updated (width, height) metadata, batch-columnar, no driver data."""
+
+    def resize(batches):
+        for pdf in batches:
+            out_bytes = []
+            for b, w, h in zip(pdf["media"], pdf["width"], pdf["height"]):
+                raw = bytes(b)
+                # deterministic stand-in for decode->resample->encode:
+                # stride-sample the payload to the target size
+                n = max(1, out_w * out_h // 8)
+                step = max(1, len(raw) // n)
+                out_bytes.append(raw[::step][:n])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out_bytes,
+                    "media_type": pdf["media_type"],
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    return media.mapInPandas(resize, MEDIA_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame, n_frames: int = 4
+) -> DataFrame:
+    """Frame sampling plumbing for video-like payloads: one input row ->
+    n_frames output rows (doc_id, frame_no, frame binary). The real
+    container demux is stubbed (no av libs here); frames are
+    deterministic, evenly-strided byte windows so ordering, fan-out and
+    schema — the parts Spark owns — are fully real and tested."""
+
+    def sample(batches):
+        for pdf in batches:
+            ids, frames, nos = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(b)
+                win = max(1, len(raw) // max(n_frames, 1))
+                for i in range(n_frames):
+                    ids.append(did)
+                    nos.append(i)
+                    frames.append(raw[i * win:(i + 1) * win])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame": frames}
+            )
+
+    return media.mapInPandas(
+        sample, "doc_id long, frame_no int, frame binary"
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary media via mapInPandas (Arrow batches).
     The 'decoder' is a deterministic md5-derived 8-dim feature so the

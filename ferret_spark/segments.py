@@ -21,9 +21,11 @@ Layout on disk (<path>/):
                a query ships its terms to every segment (doc-range shard),
                scores locally with block-max pruning, then global top-k —
                the MultiSearcher shape (c/src/search.c:1443-1840)
-  merged/      parquet range-partitioned by (field, term) — the global
-               index / term dictionary (term-dict ops, merge proof)
-  term_stats/  parquet
+  merged/      parquet hash-partitioned by (field, term), sorted within
+               partitions — the global index / term dictionary (term-dict
+               ops, merge proof); under FerretIndex incremental adds this
+               is generation 0 of the tiered-merge LSM (generations/g*)
+  term_stats/  parquet (field, term, df, term_num)
   manifest/    parquet: (stage, part, rows, bytes, status, ts) — lineage +
                metrics; resume skips stages whose manifest says 'done'
   meta.json    stats + field_config + build params

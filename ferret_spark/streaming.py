@@ -20,8 +20,55 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ferret_spark.ind import FerretIndex
+
+
+def streaming_dedup_filter(stream_df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming EXACT-dedup over an unbounded document stream — the
+    custom stateful operator the training-pipeline brief asks for,
+    built on applyInPandasWithState: state is keyed by a 16-bit prefix
+    of the content sha (bounded key cardinality -> bounded state
+    partitions), each key's state holds the set of full hashes seen so
+    far, and only first-seen documents are emitted. Exactly the shape a
+    100 TB dedup-on-ingest needs: per-key state is the only thing that
+    grows, and it shards across executors with the state store."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = stream_df.withColumn(
+        "_sha", F.sha2(F.col(text_col).cast("string"), 256)
+    ).withColumn("_bucket", F.substring("_sha", 1, 4))
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in hashed.schema.fields
+        if f.name != "_bucket"
+    )
+    state_schema = "seen array<string>"
+
+    def dedup(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            fresh = ~pdf["_sha"].isin(seen)
+            kept = pdf[fresh]
+            # within-batch duplicates: keep first occurrence only
+            kept = kept[~kept["_sha"].duplicated()]
+            seen.update(kept["_sha"].tolist())
+            if len(kept):
+                out.append(kept.drop(columns=["_bucket"]))
+        state.update((list(seen),))
+        if out:
+            yield pd.concat(out)
+
+    return hashed.groupBy("_bucket").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 class StreamingIndexSink:

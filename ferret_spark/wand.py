@@ -1041,6 +1041,14 @@ def segment_search(
     """
     rq = wand_rewrite(index, q)
     pairs = sorted(set(_collect_terms(rq)))
+    # cache the segments schema on the index — .schema is a py4j
+    # round-trip with JSON parsing (~20ms each), and plan construction
+    # needs it up to 3x per search
+    seg_schema = getattr(index, "_seg_schema_cache", None)
+    if seg_schema is None:
+        seg_schema = index.segments.schema
+        index._seg_schema_cache = seg_schema
+    bm_type = seg_schema["block_meta"].dataType
     n_docs = index.n_docs
     avgdl_map = dict(index.stats["avgdl"])
     seg_size = index.seg_size
@@ -1084,7 +1092,7 @@ def segment_search(
             F.lit(b"").alias("pos_bin"),
             F.lit(b"").alias("dl_bin"),
             F.lit(None)
-            .cast(index.segments.schema["block_meta"].dataType)
+            .cast(bm_type)
             .alias("block_meta"),
         )
         seg_rows = seg_rows.unionByName(stub)
@@ -1113,7 +1121,7 @@ def segment_search(
                 F.lit(b"").alias("pos_bin"),
                 F.lit(b"").alias("dl_bin"),
                 F.lit(None)
-                .cast(index.segments.schema["block_meta"].dataType)
+                .cast(bm_type)
                 .alias("block_meta"),
             )
             seg_rows = seg_rows.unionByName(df_stubs)
@@ -1129,7 +1137,7 @@ def segment_search(
             )
 
     if deleted is not None and isinstance(deleted, DataFrame):
-        del_rows = _pack_deleted(deleted, seg_size, index.segments.schema)
+        del_rows = _pack_deleted(deleted, seg_size, seg_schema)
         if has_gdf:
             del_rows = del_rows.withColumn("gdf", F.lit(None).cast("long"))
         seg_rows = seg_rows.unionByName(del_rows)

@@ -77,3 +77,26 @@ def test_huge_tf_block_meta(pair):
     ).collect()[0]
     assert r["df"] == 4
     assert max(bm["max_tf"] for bm in r["block_meta"]) == 500
+
+
+def test_media_resize_and_frame_sample_plumbing(spark):
+    """Binary-media transforms: schema, fan-out and determinism are real
+    (pixel decode itself is stubbed — no image/av libs in container)."""
+    from ferret_spark.pipeline import frame_sample, media_resize, synth_media
+
+    media = synth_media(spark, "/root/testdata/sf0.001")
+    n = media.count()
+    resized = media_resize(media, out_w=16, out_h=16)
+    rows = resized.limit(5).collect()
+    assert resized.count() == n
+    for r in rows:
+        assert r["width"] == 16 and r["height"] == 16
+        assert 0 < len(bytes(r["media"])) <= 32
+    # deterministic: same input -> same bytes
+    again = {r["doc_id"]: bytes(r["media"]) for r in resized.limit(5).collect()}
+    assert {r["doc_id"]: bytes(r["media"]) for r in rows} == again
+
+    frames = frame_sample(media, n_frames=3)
+    assert frames.count() == 3 * n
+    one = frames.where(frames.doc_id == rows[0]["doc_id"]).collect()
+    assert sorted(f["frame_no"] for f in one) == [0, 1, 2]

@@ -77,3 +77,62 @@ def test_batch_replay_is_idempotent(spark, tmp_path, staged_source):
     assert sink.index.size() == 1
     sink.process_batch(batch, 1)  # genuinely new batch -> added
     assert sink.index.size() == 2
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: duplicates across AND within
+    micro-batches are dropped; state persists between batches."""
+    import pandas as pd
+
+    from ferret_spark.streaming import streaming_dedup_filter
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: one in-batch duplicate
+    spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha beta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir / "*"))
+    )
+    dedup = streaming_dedup_filter(stream, "text")
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # batch 2: cross-batch duplicate of doc 0 plus one new doc
+    spark.createDataFrame(
+        [(3, "alpha beta"), (4, "epsilon zeta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / "b2"))
+    q = (
+        streaming_dedup_filter(stream, "text")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    kept_ids = {d for d, _ in got}
+    # exactly one doc per distinct text survives
+    assert {t for _, t in got} == {"alpha beta", "gamma delta", "epsilon zeta"}
+    assert len(got) == 3
+    assert 4 in kept_ids and 1 in kept_ids
