@@ -36,6 +36,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("FERRET_BENCH_DOCS", "60000"))
 SKIP_SCALING = os.environ.get("FERRET_BENCH_SKIP_SCALING", "") == "1"
 N_REPS = int(os.environ.get("FERRET_BENCH_REPS", "3"))  # max paired trials
+# wall budget for the scaling phase: no NEW trial starts past this (the
+# whole bench must fit a driver timeout even on a degraded host window)
+SCALING_BUDGET_S = float(os.environ.get("FERRET_BENCH_BUDGET", "300"))
 FIELD_CONFIG = {"content": "standard_nostop", "lang": "keyword"}
 
 
@@ -74,7 +77,7 @@ def build_run(cores: int, out_dir: str) -> dict:
     warm_dir = f"{out_dir}_warm"
     SegmentIndexBuilder(
         spark, warm_dir, FIELD_CONFIG, seg_size=seg_size, salt_buckets=16
-    ).build(corpus.limit(2048), id_cols=("repo", "path", "commit"))
+    ).build(corpus.limit(1024), id_cols=("repo", "path", "commit"))
     shutil.rmtree(warm_dir, ignore_errors=True)
     t0 = time.time()
     # salt_buckets FIXED across parallelism levels so both scaling runs
@@ -177,6 +180,7 @@ def main():
         # subtract). All samples are reported.
         ratio = n_big / n_small
         pairs = []
+        t_phase = time.time()
         for trial in range(N_REPS):
             r_small = build_run(
                 n_small, os.path.join(tmp, f"idx_{n_small}_t{trial}")
@@ -197,10 +201,16 @@ def main():
             runs["N"] = r_small  # last trial's detail
             runs["4N"] = r_big
             shutil.rmtree(r_small["_dir"], ignore_errors=True)
-            if eff >= 0.85 or trial == N_REPS - 1:
-                break  # a clean pair is in hand (or budget exhausted)
+            if (
+                0.85 <= eff <= 1.1  # plausible clean pair in hand
+                or trial == N_REPS - 1
+                or time.time() - t_phase > SCALING_BUDGET_S
+            ):
+                break  # (>1.1 means the N run itself was degraded —
+                # super-linear scaling is noise, keep sampling)
             shutil.rmtree(r_big["_dir"], ignore_errors=True)
-        best = max(pairs, key=lambda p: p["efficiency"])
+        plausible = [p for p in pairs if p["efficiency"] <= 1.1]
+        best = max(plausible or pairs, key=lambda p: p["efficiency"])
         scaling = {
             "cores_n": n_small,
             "cores_4n": n_big,
