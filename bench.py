@@ -142,17 +142,63 @@ def query_latency(idx, reps: int = 5) -> dict:
     return out
 
 
-def contract_queries(spark) -> dict:
+class Canary:
+    """Fixed engine-free reference job (sha256 projection + count over the
+    documents table) interleaved with measurements. Host noise on this box
+    is ±2x minute-to-minute; the canary makes a degraded measurement window
+    machine-detectable IN the artifact: each sample is annotated with the
+    nearest canary wall, and normalized walls divide out the canary's drift
+    relative to its best (cleanest-moment) observation."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.samples: list[tuple[float, float]] = []  # (t_epoch, ms)
+
+    def run(self) -> float:
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        (
+            self.spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select(F.sha2(F.col("text"), 256).alias("h"))
+            .agg(F.count("h"))
+            .collect()
+        )
+        ms = (time.time() - t0) * 1000
+        self.samples.append((time.time(), ms))
+        return ms
+
+    def best_ms(self) -> float:
+        return min(ms for _, ms in self.samples)
+
+    def nearest_ms(self, t: float) -> float:
+        return min(self.samples, key=lambda s: abs(s[0] - t))[1]
+
+    def factor_at(self, t: float) -> float:
+        """>1.0 means the host was slower than its cleanest moment."""
+        return self.nearest_ms(t) / self.best_ms()
+
+
+def contract_queries(spark, canary: "Canary") -> tuple[dict, dict]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry
 
-    out = {}
+    raw, norm = {}, {}
     qs = entry.queries()
-    for name in sorted(qs):
+    names = sorted(qs)
+    stamps = {}
+    canary.run()
+    for i, name in enumerate(names):
         t0 = time.time()
         qs[name](spark, SF_DIR).collect()
-        out[name] = round(time.time() - t0, 3)
-    return out
+        raw[name] = round(time.time() - t0, 3)
+        stamps[name] = (t0 + time.time()) / 2
+        if (i + 1) % 5 == 0:
+            canary.run()
+    canary.run()
+    for name in names:
+        norm[name] = round(raw[name] / canary.factor_at(stamps[name]), 3)
+    return raw, norm
 
 
 def main():
@@ -210,13 +256,19 @@ def main():
                 # super-linear scaling is noise, keep sampling)
             shutil.rmtree(r_big["_dir"], ignore_errors=True)
         plausible = [p for p in pairs if p["efficiency"] <= 1.1]
-        best = max(plausible or pairs, key=lambda p: p["efficiency"])
+        pool = plausible or pairs
+        # headline = MEDIAN paired efficiency (best-of-N is an optimistic
+        # estimator under ±2x host noise); best pair kept as supporting
+        # detail alongside every raw trial
+        med = sorted(pool, key=lambda p: p["efficiency"])[len(pool) // 2]
+        best = max(pool, key=lambda p: p["efficiency"])
         scaling = {
             "cores_n": n_small,
             "cores_4n": n_big,
-            "docs_per_sec_n": best["docs_per_sec_n"],
-            "docs_per_sec_4n": best["docs_per_sec_4n"],
-            "efficiency": best["efficiency"],
+            "docs_per_sec_n": med["docs_per_sec_n"],
+            "docs_per_sec_4n": med["docs_per_sec_4n"],
+            "efficiency": med["efficiency"],
+            "efficiency_best": best["efficiency"],
             "trials": pairs,
         }
     else:
@@ -235,8 +287,12 @@ def main():
     qspark = _new_spark(CPUS)
     qspark.sparkContext.setLogLevel("ERROR")
     qidx = SegmentIndex.load(qspark, r_big["_dir"])
+    canary = Canary(qspark)
+    canary.run()  # warm the session + parquet cache path
+    canary.run()
     lat = query_latency(qidx)
-    contract = contract_queries(qspark)
+    canary.run()
+    contract, contract_norm = contract_queries(qspark, canary)
 
     result.update(
         {
@@ -252,6 +308,15 @@ def main():
             "scaling": scaling,
             "query_latency_ms": lat,
             "queries": contract,
+            "queries_canary_normalized": contract_norm,
+            "canary": {
+                "job": "sha256(text) projection + count over documents",
+                "samples_ms": [round(ms, 1) for _, ms in canary.samples],
+                "best_ms": round(canary.best_ms(), 1),
+                "max_over_best": round(
+                    max(ms for _, ms in canary.samples) / canary.best_ms(), 2
+                ),
+            },
         }
     )
     shutil.rmtree(tmp, ignore_errors=True)

@@ -139,7 +139,7 @@ class FerretIndex:
                 "rows": meta["stats"]["n_docs"],
             }
         ]
-        gname = f"generations/g{int(time.time() * 1000)}"
+        gname = self._new_gname()
         gdir = os.path.join(self.path, gname)
         batch_segs = self.spark.read.parquet(
             os.path.join(self.path, "segments")
@@ -218,7 +218,7 @@ class FerretIndex:
         ).parquet(os.path.join(self.path, "segments"))
 
         # the shifted source's global index becomes a new generation
-        gname = f"generations/g{int(time.time() * 1000)}"
+        gname = self._new_gname()
         gdir = os.path.join(self.path, gname)
         shift_posting_rows(o.merged, base).sortWithinPartitions(
             "field", "term"
@@ -264,18 +264,36 @@ class FerretIndex:
         self._idx = SegmentIndex.load(self.spark, self.path)
         return self
 
+    def _new_gname(self) -> str:
+        """Collision-proof generation dir name: millisecond timestamps can
+        repeat across merge-loop iterations (overwriting a generation still
+        referenced by `keep`); a uuid suffix cannot."""
+        import uuid
+
+        return (
+            f"generations/g{int(time.time() * 1000)}_{uuid.uuid4().hex[:8]}"
+        )
+
     def _segment_stats(self) -> dict:
         from ferret_spark.segments import (
             corpus_stats_from_marker_files,
             corpus_stats_from_segments,
+            parquet_rows,
         )
 
         seg_dir = os.path.join(self.path, "segments")
-        stats = corpus_stats_from_marker_files(seg_dir, self.field_config)
+        # doc-length markers exist only for TOKENIZED fields; an all-keyword
+        # field_config has none, so n_docs must fall back to the docs-table
+        # row count (parquet footers, no Spark job) — a 0 fallback would
+        # turn bm25_idf(df, 0) negative and invert ranking
+        n_docs_fb = parquet_rows(os.path.join(self.path, "docs"))
+        stats = corpus_stats_from_marker_files(
+            seg_dir, self.field_config, n_docs_fallback=n_docs_fb
+        )
         if stats is None:
             segs = self.spark.read.parquet(seg_dir)
             stats = corpus_stats_from_segments(
-                self.spark, segs, self.field_config
+                self.spark, segs, self.field_config, n_docs_fallback=n_docs_fb
             )
         return stats
 
@@ -332,7 +350,7 @@ class FerretIndex:
                 union.repartition(n_part, "field", "term"),
                 ["field", "term"],
             )
-            gname = f"generations/g{int(time.time() * 1000)}"
+            gname = self._new_gname()
             gdir = os.path.join(self.path, gname)
             merged.sortWithinPartitions("field", "term").write.mode(
                 "overwrite"
@@ -348,12 +366,6 @@ class FerretIndex:
                 .write.mode("overwrite")
                 .parquet(os.path.join(gdir, "term_stats"))
             )
-            import shutil
-
-            for g in victims:
-                gd = os.path.dirname(os.path.join(self.path, g["merged"]))
-                if os.path.basename(gd) != self.path and g["merged"] != "merged":
-                    shutil.rmtree(gd, ignore_errors=True)
             keep.append(
                 {
                     "merged": f"{gname}/merged",
@@ -361,8 +373,18 @@ class FerretIndex:
                     "rows": sum(g["rows"] for g in victims),
                 }
             )
+            # commit protocol: the new generation + meta are durable BEFORE
+            # victim dirs go away — a crash in between leaves at worst an
+            # orphaned (unreferenced) directory, never a meta.json pointing
+            # at deleted paths
             meta["generations"] = keep
             self._write_meta(meta)
+            import shutil
+
+            for g in victims:
+                gd = os.path.dirname(os.path.join(self.path, g["merged"]))
+                if os.path.basename(gd) != self.path and g["merged"] != "merged":
+                    shutil.rmtree(gd, ignore_errors=True)
 
     # -------------------------------------------------------------- deletes
     def _deleted_path(self) -> str:

@@ -185,23 +185,22 @@ class _Planner:
         rows = p.select("doc_id", "term", contrib)
 
         # sum contributions in sorted-term order (both sides do this) to keep
-        # float64 addition order deterministic
-        @F.pandas_udf("double")
-        def sum_sorted(arrs: pd.Series) -> pd.Series:
-            out = np.empty(len(arrs))
-            for i, arr in enumerate(arrs):
-                pairs = sorted(arr, key=lambda st: st["term"])
-                s = 0.0
-                for it in pairs:
-                    s += it["contrib"]
-                out[i] = s
-            return pd.Series(out)
-
+        # float64 addition order deterministic. Pure JVM: struct sorts by its
+        # first field (term), and aggregate() left-folds in array order —
+        # same float64 add sequence as the oracle. Arrays are <= max_terms
+        # elements, so the interpreted-HOF lambda cost is bounded (the slow
+        # case is per-token lambdas over long arrays, not a per-doc <=512
+        # fold); no Python worker in the plan.
         agg = rows.groupBy("doc_id").agg(
             F.collect_list(F.struct("term", "contrib")).alias("arr")
         )
+        ssum = F.aggregate(
+            F.array_sort(F.col("arr")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        )
         return agg.select(
-            "doc_id", (F.lit(q.boost) * sum_sorted(F.col("arr"))).alias("score")
+            "doc_id", (F.lit(q.boost) * ssum).alias("score")
         )
 
     def plan_match_all(self, q: MatchAllQuery) -> DataFrame:

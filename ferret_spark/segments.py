@@ -267,7 +267,18 @@ def build_segments(
         "seg_id", (F.col("doc_id") / F.lit(seg_size)).cast("int")
     )
     if n_segments and n_segments > 1:
-        src = src.repartitionByRange(n_segments, "seg_id")
+        # cap shuffle partitions: one-partition-per-segment is ideal while
+        # segments ≈ cores, but at corpus scale (doc_count/seg_size can be
+        # millions) it would explode scheduler + shuffle metadata. Past the
+        # cap, range partitioning on seg_id still clusters several WHOLE
+        # segments per partition (satisfies the groupBy distribution; the
+        # sampling job's cost is bounded by the partition count too).
+        try:
+            par = docs.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # pragma: no cover
+            par = 32
+        n_part = min(n_segments, max(4 * par, 64))
+        src = src.repartitionByRange(n_part, "seg_id")
 
     # resolve analyzer instances DRIVER-side so runtime-registered custom
     # analyzers are pickled into the task closure (executor workers only

@@ -56,6 +56,66 @@ class ConstantScoreTerms(Query):
     terms: tuple[str, ...] = ()
 
 
+# Past this many matching terms a range stops materializing the term list
+# driver-side and becomes a segment-evaluated predicate instead — the
+# reference's RangeFilter never collects the term list either (BitVector is
+# built reader-side while walking the term dict, c/src/q_range.c:218-277).
+RANGE_EXPAND_CAP = 512
+
+
+@dataclass(frozen=True)
+class ConstantScoreRange(Query):
+    """Fallback rewrite of a wide RangeQuery: the bound is NOT expanded to a
+    term list; it ships as a predicate pushed into the segments scan (term
+    string/numeric comparison) and re-checked per posting row in the segment
+    evaluator. Driver memory stays O(1) regardless of how many terms match
+    (the 10^12-scale high-cardinality-field case)."""
+
+    field: str = "content"
+    lower: str | float | None = None
+    upper: str | float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    typed: bool = False
+
+    def matches(self, term: str) -> bool:
+        if self.typed:
+            try:
+                v = float(term)
+            except (TypeError, ValueError):
+                return False
+        else:
+            v = term
+        lo, hi = self.lower, self.upper
+        if self.typed:
+            lo = None if lo is None else float(lo)
+            hi = None if hi is None else float(hi)
+        else:
+            lo = None if lo is None else str(lo)
+            hi = None if hi is None else str(hi)
+        if lo is not None and (v < lo or (v == lo and not self.include_lower)):
+            return False
+        if hi is not None and (v > hi or (v == hi and not self.include_upper)):
+            return False
+        return True
+
+    def spark_cond(self):
+        """Predicate over the segments table's `term` column (pushed into
+        the scan; for typed bounds the cast runs executor-side)."""
+        col = (
+            F.expr("try_cast(term as double)") if self.typed
+            else F.col("term")
+        )
+        cond = col.isNotNull()
+        if self.lower is not None:
+            lo = float(self.lower) if self.typed else str(self.lower)
+            cond = cond & (col >= lo if self.include_lower else col > lo)
+        if self.upper is not None:
+            hi = float(self.upper) if self.typed else str(self.upper)
+            cond = cond & (col <= hi if self.include_upper else col < hi)
+        return (F.col("field") == self.field) & cond
+
+
 def _bm25_tf_np(tf, dl, avgdl: float):
     tf = tf.astype(np.float64)
     dl = dl.astype(np.float64)
@@ -147,7 +207,6 @@ def _range_to_const(index, q: Query) -> Query:
             if q.upper is not None:
                 hi = float(q.upper)
                 cond = cond & (num <= hi if q.include_upper else num < hi)
-            out = [r["term"] for r in ts.where(cond).select("term").collect()]
         else:
             cond = F.lit(True)
             if q.lower is not None:
@@ -160,7 +219,26 @@ def _range_to_const(index, q: Query) -> Query:
                 cond = cond & (
                     F.col("term") <= hi if q.include_upper else F.col("term") < hi
                 )
-            out = [r["term"] for r in ts.where(cond).select("term").collect()]
+        # expansion is CAPPED (max_terms analog, c/src/q_multi_term.c:41-120):
+        # collect at most cap+1 terms; past the cap the range stays a pushed
+        # predicate (ConstantScoreRange) and the driver never materializes
+        # the term list — a wide range over a high-cardinality numeric field
+        # would otherwise collect O(vocabulary) terms
+        out = [
+            r["term"]
+            for r in ts.where(cond).select("term")
+            .limit(RANGE_EXPAND_CAP + 1).collect()
+        ]
+        if len(out) > RANGE_EXPAND_CAP:
+            return ConstantScoreRange(
+                boost=q.boost,
+                field=q.field,
+                lower=q.lower,
+                upper=q.upper,
+                include_lower=q.include_lower,
+                include_upper=q.include_upper,
+                typed=q.typed,
+            )
         expanded = tuple(sorted(out))
         if cache is not None:
             cache[ckey] = expanded
@@ -192,6 +270,16 @@ def _collect_terms(q: Query) -> list[tuple[str, str]]:
         return [(q.field, t) for _, alts in q.positions for t in alts]
     if isinstance(q, BooleanQuery):
         return [ft for c in q.clauses for ft in _collect_terms(c.query)]
+    return []
+
+
+def _collect_ranges(q: Query) -> list["ConstantScoreRange"]:
+    """Uncapped range predicates in the tree (pushed into the segments scan
+    instead of term-expanded)."""
+    if isinstance(q, ConstantScoreRange):
+        return [q]
+    if isinstance(q, BooleanQuery):
+        return [r for c in q.clauses for r in _collect_ranges(c.query)]
     return []
 
 
@@ -260,6 +348,8 @@ class _SegEval:
             return self._eval_multi(q)
         if isinstance(q, ConstantScoreTerms):
             return self._eval_const(q)
+        if isinstance(q, ConstantScoreRange):
+            return self._eval_const_range(q)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q)
         if isinstance(q, PhraseQuery):
@@ -314,6 +404,23 @@ class _SegEval:
         mask, score = self._zero()
         for term in q.terms:
             dec = self.decoded(q.field, term)
+            if dec is None:
+                continue
+            mask[dec[0]] = True
+        score[mask] = q.boost * 1.0
+        return mask, score
+
+    def _eval_const_range(self, q: "ConstantScoreRange"):
+        """Uncapped-range fallback: the segments scan already filtered rows
+        to the bound (spark_cond pushed predicate), but rows for OTHER
+        clauses of the same field also land in this task — re-check the
+        bound per term. Term list never touches the driver (RangeFilter
+        semantics, c/src/q_range.c:218-277)."""
+        mask, score = self._zero()
+        for (field, term) in self.rows:
+            if field != q.field or not q.matches(term):
+                continue
+            dec = self.decoded(field, term)
             if dec is None:
                 continue
             mask[dec[0]] = True
@@ -535,6 +642,10 @@ class _SegEvalTFIDF(_SegEval):
                 dec = self.decoded(q.field, t)
                 if dec is not None:
                     mask[dec[0]] = True
+            score[mask] = 1.0 * b * self.qnorm
+            return mask, score
+        if isinstance(q, ConstantScoreRange):
+            mask, _ = _SegEval._eval_const_range(self, q)
             score[mask] = 1.0 * b * self.qnorm
             return mask, score
         if isinstance(q, MatchAllQuery):
@@ -761,13 +872,21 @@ def _bool_wandable(q: Query) -> bool:
     c/src/index.c:2999-3065), SHOULD clauses contribute upper bounds."""
     if not isinstance(q, BooleanQuery) or not q.clauses:
         return False
+    if q.boost <= 0.0:
+        # WAND's theta comparison assumes positive scores; zero/negative
+        # boosts take the dense exact path (which returns such hits)
+        return False
     n_terms = 0
     has_scoring = False
     for c in q.clauses:
         cq = c.query
+        if cq.boost <= 0.0:
+            return False
         if isinstance(cq, TermQuery):
             n_terms += 1
         elif isinstance(cq, MultiTermQuery):
+            if any(tb <= 0.0 for _, tb in cq.terms):
+                return False
             n_terms += len(cq.terms)
         elif isinstance(cq, ConstantScoreTerms):
             n_terms += len(cq.terms)
@@ -1041,6 +1160,7 @@ def segment_search(
     """
     rq = wand_rewrite(index, q)
     pairs = sorted(set(_collect_terms(rq)))
+    ranges = _collect_ranges(rq)
     # cache the segments schema on the index — .schema is a py4j
     # round-trip with JSON parsing (~20ms each), and plan construction
     # needs it up to 3x per search
@@ -1054,7 +1174,7 @@ def segment_search(
     seg_size = index.seg_size
     needs_all = _query_needs_all_docs(rq)
 
-    if not pairs and not needs_all:
+    if not pairs and not needs_all and not ranges:
         return index.spark.createDataFrame([], "doc_id long, score float")
 
     # Global df resolution. BM25 fuses the lookup INTO the scoring job:
@@ -1065,21 +1185,25 @@ def segment_search(
     fuse_dfs = similarity == "bm25" and bool(pairs)
     dfs = {} if fuse_dfs else index.doc_freqs(pairs)
 
-    if pairs and not needs_all:
+    # scan predicate: exact (field, term) pushdown for the query's terms,
+    # OR'd with any uncapped range bounds (predicate stays executor-side —
+    # no driver term materialization)
+    scan_cond = None
+    if pairs:
         fields = sorted({f for f, _ in pairs})
         terms = sorted({t for _, t in pairs})
-        seg_rows = index.segments.where(
-            F.col("field").isin(fields) & F.col("term").isin(terms)
-        )
+        scan_cond = F.col("field").isin(fields) & F.col("term").isin(terms)
+    for r in ranges:
+        rc = r.spark_cond()
+        scan_cond = rc if scan_cond is None else (scan_cond | rc)
+
+    if (pairs or ranges) and not needs_all:
+        seg_rows = index.segments.where(scan_cond)
     else:
         # MatchAll-bearing queries must visit every segment
         seg_rows = index.segments
-        if pairs:
-            fields = sorted({f for f, _ in pairs})
-            terms = sorted({t for _, t in pairs})
-            seg_rows = seg_rows.where(
-                F.col("field").isin(fields) & F.col("term").isin(terms)
-            )
+        if scan_cond is not None:
+            seg_rows = seg_rows.where(scan_cond)
         # union in one stub row per segment so empty segments still appear
         all_segs = index.segments.select("seg_id").distinct()
         stub = all_segs.select(
@@ -1154,6 +1278,8 @@ def segment_search(
         and local_k is not None
         and isinstance(rq, MultiTermQuery)
         and len(rq.terms) <= 32
+        and rq.boost > 0.0
+        and all(tb > 0.0 for _, tb in rq.terms)
     )
     use_bool_wand = (
         prune

@@ -252,3 +252,24 @@ def test_add_index_reader_to_reader(spark, tmp_path):
 
     ph = _hits(a.search(PhraseQuery.of("content", ["beta", "shared"]), k=None))
     assert ph == beta
+
+
+def test_all_keyword_field_config_stats(spark, tmp_path):
+    """An all-keyword field_config emits NO doc-length marker rows; n_docs
+    must fall back to the docs-table row count (a 0 would flip bm25_idf
+    negative and invert ranking) — across add(), incremental add() and
+    optimize()."""
+    fc = {"tag": "keyword"}
+    rows1 = [{"doc_id": i, "tag": f"t{i % 2}"} for i in range(6)]
+    rows2 = [{"doc_id": i, "tag": "t2"} for i in range(4)]
+    idx = FerretIndex(spark, str(tmp_path / "kw"), fc, seg_size=4)
+    idx.add_documents(spark.createDataFrame(rows1), doc_id_col="doc_id")
+    assert idx.size() == 6
+    idx.add_documents(spark.createDataFrame(rows2), doc_id_col="doc_id")
+    assert idx.size() == 10
+    hits = idx.search(TermQuery(field="tag", term="t0"), k=None).collect()
+    assert {r["doc_id"] for r in hits} == {0, 2, 4}
+    assert all(r["score"] > 0 for r in hits)
+    idx.delete_by_term("tag", "t2")
+    idx.optimize()
+    assert idx.size() == 6

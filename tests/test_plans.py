@@ -64,3 +64,17 @@ def test_segment_scan_pushdown(spark, tmp_path_factory):
     plan = _executed_plan(df)
     assert "PushedFilters" in plan
     assert "word2" in plan
+
+
+def test_multiterm_or_plan_has_no_python_udf(saved_idx):
+    """The declarative OR plan (prefix/wildcard/fuzzy/bool_or rewrite
+    target) must stay entirely JVM-side: sorted-order float summation is an
+    aggregate() fold over array_sort(collect_list(...)), not a pandas UDF."""
+    from ferret_spark.query import PrefixQuery
+
+    df = saved_idx.search(PrefixQuery(field="content", prefix="word"), k=10)
+    plan = _executed_plan(df)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{marker} found in OR plan:\n{plan}"
+    # and it still returns scored hits
+    assert len(df.collect()) > 0
