@@ -416,9 +416,27 @@ def _get_seg_index(spark: SparkSession, sf_dir: str):
     return sidx
 
 
+def _rerank_rounded(top: DataFrame, k: int = K) -> DataFrame:
+    """Over-fetched engine hits -> (rank, doc_id, score) by the 4dp-rounded
+    score (both sides rank by the ROUNDED value, so the top-k cut matches
+    the SQL oracle at rounding-tie boundaries)."""
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        top.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "doc_id",
+            "score",
+        )
+    )
+
+
 def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpanNear(table, hash, slop 2, unordered) through the segmented
-    engine — positional spans are non-SQL-expressible -> rows-only check."""
+    engine. The SQL twin reproduces the reference enumerator's pair set
+    exactly (see _sql_span_near)."""
     from ferret_spark.spans import SpanNearQuery, SpanTermQuery
 
     sidx = _get_seg_index(spark, sf_dir)
@@ -429,20 +447,23 @@ def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         slop=2,
     )
-    return sidx.search(q, k=10).select(
-        "doc_id", F.round(F.col("score"), 4).alias("score")
-    )
+    return _rerank_rounded(sidx.search(q, k=K + 40))
 
 
 def _q_tfidf_term(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic TF-IDF similarity through the segmented engine (norm-byte
-    quantized scoring is non-SQL-expressible -> rows-only check)."""
+    """Classic TF-IDF similarity through the segmented engine. The
+    norm-byte quantization is a pure function of doc_len at unit boosts —
+    the SQL twin joins the (dl_lo, dl_hi, norm) breakpoint table
+    (similarity.norm_dl_ranges)."""
     from ferret_spark.query import TermQuery
 
     sidx = _get_seg_index(spark, sf_dir)
-    return sidx.search(
-        TermQuery(field="text", term="scan"), k=10, similarity="tfidf"
-    ).select("doc_id", F.round(F.col("score"), 4).alias("score"))
+    return _rerank_rounded(
+        sidx.search(
+            TermQuery(field="text", term="scan"), k=K + 40,
+            similarity="tfidf",
+        )
+    )
 
 
 def _q_seg_term(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,6 +581,120 @@ scored AS (
 )"""
         + _RANKED.format(k=k)
     )
+
+
+def _sql_span_near(t1: str, t2: str, slop: int = 2, k: int = K) -> str:
+    """SpanNear(t1, t2, slop, unordered) twin. The reference's unordered
+    enumerator (sne_next_unordered_match, c/src/q_span.c:995-1037) advances
+    the clause with the smallest span start, so the pairs it checks are
+    EXACTLY: each t1 position paired with its successor in t2, plus each t2
+    position paired with its successor in t1. A pair (lo, hi) emits a span
+    of length hi-lo+1 when (hi+1-lo) - 2 <= slop, contributing
+    1/(hi-lo+2) to freq (spansc_score); score = idf_sum * bm25_tf(freq)."""
+    idf1 = _IDF.format(
+        n="st.n", df="(SELECT df FROM tstat WHERE term='{t}')::DOUBLE"
+    )
+    tfp = _TFP.format(tf="ph.freq", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    # idf_sum accumulates in sorted-term order (engine: sorted(set(terms)))
+    ta, tb = sorted([t1, t2])
+    return (
+        _PRELUDE
+        + f""",
+pa AS (SELECT doc_id, pos FROM tok2 WHERE term = '{t1}'),
+pb AS (SELECT doc_id, pos FROM tok2 WHERE term = '{t2}'),
+n1 AS (
+  SELECT a.doc_id, a.pos AS lo, min(b.pos) AS hi
+  FROM pa a JOIN pb b ON b.doc_id = a.doc_id AND b.pos > a.pos
+  GROUP BY a.doc_id, a.pos
+),
+n2 AS (
+  SELECT b.doc_id, b.pos AS lo, min(a.pos) AS hi
+  FROM pb b JOIN pa a ON a.doc_id = b.doc_id AND a.pos > b.pos
+  GROUP BY b.doc_id, b.pos
+),
+sp AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2),
+ph AS (
+  SELECT doc_id, sum(1.0 / (hi - lo + 2)) AS freq
+  FROM sp WHERE hi - lo <= {slop + 1} GROUP BY doc_id
+),
+idfs AS (
+  SELECT ({idf1.format(t=ta)}) + ({idf1.format(t=tb)}) AS idf_sum
+  FROM st
+),
+scored AS (
+  SELECT ph.doc_id, idfs.idf_sum * {tfp} AS s
+  FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN idfs
+)"""
+        + _RANKED.format(k=k)
+    )
+
+
+def _sql_tfidf_term(term: str, k: int = K) -> str:
+    """TF-IDF term twin (c/src/similarity.c semantics):
+    score = sqrt(tf) * idf^2 * qnorm * norm(doc_len), with
+    idf = ln(N/(df+1)) + 1, qnorm = 1/sqrt(idf^2), and norm the byte-
+    quantized length norm (3-bit mantissa / 5-bit exponent codec) — a pure
+    function of doc_len at unit boosts, inlined as a breakpoint table."""
+    from ferret_spark.similarity import norm_dl_ranges
+
+    nrm_rows = ",\n    ".join(
+        f"({lo}, {hi}, {nv!r})" for lo, hi, nv in norm_dl_ranges()
+    )
+    idf = "ln(st.n / (tq.df + 1.0)) + 1.0"
+    return (
+        _PRELUDE
+        + f""",
+nrm(dl_lo, dl_hi, nv) AS (VALUES
+    {nrm_rows}),
+tq AS (SELECT df::DOUBLE AS df FROM tstat WHERE term = '{term}'),
+qn AS (
+  SELECT ({idf}) AS idf,
+         1.0 / sqrt(({idf}) * ({idf})) AS qnorm
+  FROM st, tq
+),
+scored AS (
+  SELECT p.doc_id, sqrt(p.tf) * (qn.idf * qn.idf * 1.0 * qn.qnorm) * nrm.nv AS s
+  FROM p
+  JOIN dl ON dl.doc_id = p.doc_id
+  JOIN nrm ON dl.doc_len BETWEEN nrm.dl_lo AND nrm.dl_hi
+  CROSS JOIN qn
+  WHERE p.term = '{term}'
+)"""
+        + _RANKED.format(k=k)
+    )
+
+
+def _sql_ann_lsh(
+    query_vec_id: int = 0, k: int = 10, n_planes: int = 12,
+    probe_hamming: int = 2,
+) -> str:
+    """Multiprobe LSH ANN twin: same inlined hyperplane literals as the
+    Spark expression (bit-identical bucketing), probe set = hamming ball
+    via bit_count(xor(bucket, qbucket))."""
+    from ferret_spark.pipeline import _plane_literals
+
+    dim = 64  # embeddings table dim (TESTDATA.md)
+    planes = _plane_literals(dim, n_planes)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(e, [{', '.join(repr(c) for c in p)}]"
+        f"::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bk AS (SELECT vec_id, e, {bucket} AS bucket FROM base),
+q AS (SELECT bucket AS qb, e AS qe FROM bk WHERE vec_id = {query_vec_id}),
+scored AS (
+  SELECT b.vec_id,
+         round(list_dot_product(b.e, q.qe)
+               / (sqrt(list_dot_product(b.e, b.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+  FROM bk b, q
+  WHERE b.vec_id <> {query_vec_id}
+    AND bit_count(xor(b.bucket, q.qb)) <= {probe_hamming}
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -887,9 +1022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        # pipeline ops (pp_ann_lsh is intentionally omitted:
-        # driver-probed hyperplane buckets -> rows-only check)
+        # pipeline ops
         "pp_dedup_exact": _SQL_DEDUP_EXACT,
+        "pp_ann_lsh": _sql_ann_lsh(),
         "pp_dedup_ngram_jaccard": _sql_ngram_jaccard(),
         "pp_dedup_minhash_lsh": _sql_minhash_lsh(),
         "pp_dedup_simhash": _sql_simhash(),
@@ -916,8 +1051,8 @@ def oracle_sql() -> dict[str, str]:
                 "least(length(p.term), length('sprak'))::DOUBLE"
             ),
         ),
-        # ft_span_near / ft_tfidf_term intentionally have no SQL twin
-        # (positional spans, norm-byte-quantized scoring) -> rows-only
+        "ft_span_near": _sql_span_near("table", "hash", slop=2),
+        "ft_tfidf_term": _sql_tfidf_term("scan"),
         "ft_seg_term": _sql_term("spark"),
         "ft_sorted_nchars": _sql_sorted_nchars(),
         "ft_scan": _sql_scan(),

@@ -345,42 +345,33 @@ def ann_lsh_topk(
     n_planes: int = 12,
     probe_hamming: int = 2,
 ) -> DataFrame:
-    """LSH-bucketed ANN (the scale path): random-hyperplane signatures
-    bucket vectors; the query probes buckets within `probe_hamming` bits,
-    then exact cosine re-ranks the candidates. Deterministic planes
-    (Philox seed 42)."""
-    emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
-    planes = _hyperplanes(dim, n_planes)
-
-    @F.pandas_udf("int")
-    def bucket_of(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
-        signs = (m @ planes.T) > 0
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series((signs @ weights).astype(np.int32))
-
-    bucketed = emb.withColumn("bucket", bucket_of("embedding"))
-    qrow = bucketed.where(F.col("vec_id") == query_vec_id).first()
+    """LSH-bucketed ANN (the scale path): random-hyperplane sign buckets,
+    multiprobe = all buckets within `probe_hamming` bits of the query's
+    bucket, exact cosine re-rank over the candidates. Planes are
+    deterministic float64 LITERALS inlined into the JVM expression (and
+    identically into the DuckDB twin), so bucketing is bit-identical across
+    engines; the probe set is a bit_count(bucket XOR qbucket) predicate —
+    never a driver-enumerated bucket list."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    )
+    dim = len(_emb(spark, sf_dir).select("embedding").first()[0])
+    planes = _plane_literals(dim, n_planes)
+    bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_sql("e", planes)))
+    qrow = bucketed.where(F.col("vec_id") == query_vec_id).select(
+        "bucket", "e"
+    ).first()
     qbucket = int(qrow["bucket"])
-    # probe buckets within hamming distance
-    probe = [qbucket]
-    if probe_hamming >= 1:
-        probe += [qbucket ^ (1 << i) for i in range(n_planes)]
-    if probe_hamming >= 2:
-        probe += [
-            qbucket ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
     cand = bucketed.where(
-        F.col("bucket").isin(probe) & (F.col("vec_id") != query_vec_id)
+        (F.expr(f"bit_count(bucket ^ {qbucket})") <= probe_hamming)
+        & (F.col("vec_id") != query_vec_id)
     )
     qv = spark.createDataFrame(
-        [(list(map(float, qrow["embedding"])),)], "qv array<double>"
+        [(list(map(float, qrow["e"])),)], "qv array<double>"
     )
     scored = cand.crossJoin(F.broadcast(qv)).select(
-        "vec_id", F.round(_cosine_expr("embedding", "qv"), 6).alias("cosine")
+        "vec_id", F.round(_cosine_expr("e", "qv"), 6).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 

@@ -136,3 +136,30 @@ def sum_sq_weights(q: Query, dfs, n_docs: int, field_of, anc_boost: float = 1.0)
 
 def query_norm(sum_sq: float) -> float:
     return 1.0 / math.sqrt(sum_sq) if sum_sq > 0 else 1.0
+
+
+def norm_dl_ranges(max_dl: int = 1 << 20) -> list[tuple[int, int, float]]:
+    """(dl_lo, dl_hi, decoded_norm) ranges for doc_len 1..max_dl at unit
+    boosts — the norm-byte quantization expressed as a join table so a SQL
+    oracle can reproduce TF-IDF scores exactly. float2byte(1/sqrt(dl)) is
+    monotone non-increasing in dl, so each of the <=256 byte values owns a
+    contiguous dl range (found by binary search, not enumeration)."""
+
+    def b_of(dl: int) -> int:
+        return encode_norm(1.0, 1.0, dl)
+
+    out = []
+    lo = 1
+    while lo <= max_dl:
+        blo = b_of(lo)
+        # binary search the last dl with the same byte
+        a, z = lo, max_dl
+        while a < z:
+            mid = (a + z + 1) // 2
+            if b_of(mid) == blo:
+                a = mid
+            else:
+                z = mid - 1
+        out.append((lo, a, NORM_TABLE[blo]))
+        lo = a + 1
+    return out
