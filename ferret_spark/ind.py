@@ -592,5 +592,17 @@ class FerretIndex:
             return json.load(f)
 
     def _write_meta(self, meta: dict):
+        # every meta write is a new generation: the filter doc-set cache
+        # (wand._attach_filter_cache) keys on it, so any add/delete-apply/
+        # optimize invalidates cached filter results structurally
+        meta["version"] = meta.get("version", 0) + 1
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump(meta, f)
+        fc = os.path.join(self.path, "filter_cache")
+        if os.path.isdir(fc):
+            import shutil
+
+            cur = f"v{meta['version']}"
+            for d in os.listdir(fc):
+                if d != cur:
+                    shutil.rmtree(os.path.join(fc, d), ignore_errors=True)

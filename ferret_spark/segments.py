@@ -829,6 +829,11 @@ class SegmentIndex:
         # per-reader filter cache: filter key -> expanded term tuple
         # (frt_filter_get_bv analog, c/src/filter.c:24-38)
         self.filter_cache: dict = {}
+        # generation for the on-disk filter DOC-SET cache (bumped by
+        # FerretIndex add/optimize via meta version); True enables the
+        # per-generation doc-id parquet cache in wand._attach_filter_cache
+        self.generation = meta.get("version", 0)
+        self.filter_doc_cache = True
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SegmentIndex":

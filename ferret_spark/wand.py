@@ -116,6 +116,108 @@ class ConstantScoreRange(Query):
         return (F.col("field") == self.field) & cond
 
 
+@dataclass(frozen=True)
+class CachedFilterDocs(Query):
+    """A filter whose matching doc-id set is cached index-side
+    (frt_filter_get_bv analog, c/src/filter.c:24-38): the ids are a
+    per-generation parquet under {index}/filter_cache and ride the seg_id
+    shuffle as packed __filt__ rows — repeated filtered searches never
+    re-scan the filter's postings."""
+
+    field: str = "content"
+    tag: str = ""
+
+
+def _filter_cache_key(node) -> str:
+    import hashlib
+
+    if isinstance(node, ConstantScoreTerms):
+        raw = repr(("terms", node.field, node.terms))
+    else:
+        raw = repr(
+            (
+                "range", node.field, node.lower, node.upper,
+                node.include_lower, node.include_upper, node.typed,
+            )
+        )
+    return hashlib.md5(raw.encode()).hexdigest()[:16]
+
+
+def _filter_docs_df(index, node) -> DataFrame:
+    """Matching doc ids for a ConstantScore filter node — one small decode
+    job over JUST the filter's posting rows (term/range pushdown into the
+    segments scan), distributed end-to-end."""
+    from ferret_spark.segments import _row_to_codec
+
+    if isinstance(node, ConstantScoreTerms):
+        cond = (F.col("field") == node.field) & F.col("term").isin(
+            list(node.terms)
+        )
+    else:
+        cond = node.spark_cond()
+
+    def dec(batches):
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                ids, _tfs, _pos, _dls = decode_posting_list(
+                    _row_to_codec(r), with_positions=False
+                )
+                outs.append(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(outs)
+                    if outs
+                    else np.empty(0, dtype=np.int64)
+                }
+            )
+
+    return index.segments.where(cond).mapInPandas(dec, "doc_id long").distinct()
+
+
+def _attach_filter_cache(index, q: Query):
+    """Replace ConstantScore filter nodes with CachedFilterDocs backed by a
+    per-generation doc-id parquet. First use computes + persists the set;
+    later searches of the same filter ship the cached ids and skip the
+    posting scan entirely. Invalidation is structural: the generation
+    (meta version, bumped by add/optimize) is part of the cache path."""
+    import os
+
+    path = getattr(index, "path", None)
+    if not path or not getattr(index, "filter_doc_cache", True):
+        return q, {}
+    gen = getattr(index, "generation", 0)
+    cached: dict[str, str] = {}
+
+    def walk(node):
+        if isinstance(node, (ConstantScoreTerms, ConstantScoreRange)):
+            tag = _filter_cache_key(node)
+            cdir = os.path.join(path, "filter_cache", f"v{gen}", tag)
+            try:
+                if not os.path.exists(os.path.join(cdir, "_SUCCESS")):
+                    _filter_docs_df(index, node).write.mode(
+                        "overwrite"
+                    ).parquet(cdir)
+                cached[tag] = cdir
+                return CachedFilterDocs(
+                    boost=node.boost, field=node.field, tag=tag
+                )
+            except Exception:  # read-only index dir -> uncached semantics
+                return node
+        if isinstance(node, BooleanQuery):
+            from ferret_spark.query import Clause
+
+            return BooleanQuery(
+                boost=node.boost,
+                clauses=tuple(
+                    Clause(walk(c.query), c.occur) for c in node.clauses
+                ),
+            )
+        return node
+
+    return walk(q), cached
+
+
 def _bm25_tf_np(tf, dl, avgdl: float):
     tf = tf.astype(np.float64)
     dl = dl.astype(np.float64)
@@ -350,6 +452,8 @@ class _SegEval:
             return self._eval_const(q)
         if isinstance(q, ConstantScoreRange):
             return self._eval_const_range(q)
+        if isinstance(q, CachedFilterDocs):
+            return self._eval_cached_filter(q)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q)
         if isinstance(q, PhraseQuery):
@@ -407,6 +511,17 @@ class _SegEval:
             if dec is None:
                 continue
             mask[dec[0]] = True
+        score[mask] = q.boost * 1.0
+        return mask, score
+
+    def _eval_cached_filter(self, q: "CachedFilterDocs"):
+        """Mask from the cached doc-id set shipped as a packed __filt__ row
+        (this segment's slice only) — no posting decode."""
+        mask, score = self._zero()
+        local = getattr(self, "cached_filters", {}).get(q.tag)
+        if local is not None and len(local):
+            sel = local[(local >= 0) & (local < self.seg_n)]
+            mask[sel] = True
         score[mask] = q.boost * 1.0
         return mask, score
 
@@ -646,6 +761,10 @@ class _SegEvalTFIDF(_SegEval):
             return mask, score
         if isinstance(q, ConstantScoreRange):
             mask, _ = _SegEval._eval_const_range(self, q)
+            score[mask] = 1.0 * b * self.qnorm
+            return mask, score
+        if isinstance(q, CachedFilterDocs):
+            mask, _ = _SegEval._eval_cached_filter(self, q)
             score[mask] = 1.0 * b * self.qnorm
             return mask, score
         if isinstance(q, MatchAllQuery):
@@ -1099,12 +1218,13 @@ def _wand_bool_topk(ev: _SegEval, q: BooleanQuery, k: int, del_local=None):
 # the distributed search
 
 
-def _pack_deleted(deleted: DataFrame, seg_size: int, seg_schema) -> DataFrame:
-    """deleted doc_ids -> one __del__ row per affected segment whose
-    doc_bin is the sorted int64 id array. Rides the same seg_id shuffle as
-    the posting rows, so a bulk delete (10^9 ids) never touches the driver
-    and each scoring task sees only its own segment's deletions
-    (lazy-BitVector analog, c/src/index.c:5729-5745)."""
+def _pack_ids(
+    ids_df: DataFrame, seg_size: int, seg_schema, field_name: str
+) -> DataFrame:
+    """doc_ids -> one ``field_name`` row per affected segment whose doc_bin
+    is the sorted int64 id array. Rides the same seg_id shuffle as the
+    posting rows, so a bulk id set (10^9 ids) never touches the driver and
+    each scoring task sees only its own segment's slice."""
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(pdf["doc_id"].to_numpy().astype(np.int64))
@@ -1112,7 +1232,7 @@ def _pack_deleted(deleted: DataFrame, seg_size: int, seg_schema) -> DataFrame:
             [
                 (
                     int(key[0]),
-                    "__del__",
+                    field_name,
                     "",
                     int(len(ids)),
                     ids.tobytes(),
@@ -1128,11 +1248,17 @@ def _pack_deleted(deleted: DataFrame, seg_size: int, seg_schema) -> DataFrame:
             ],
         )
 
-    rows = deleted.select(
+    rows = ids_df.select(
         (F.col("doc_id") / F.lit(seg_size)).cast("int").alias("seg_id"),
         F.col("doc_id").cast("long").alias("doc_id"),
     )
     return rows.groupBy("seg_id").applyInPandas(pack, seg_schema)
+
+
+def _pack_deleted(deleted: DataFrame, seg_size: int, seg_schema) -> DataFrame:
+    """Deletions as packed per-segment rows (lazy-BitVector analog,
+    c/src/index.c:5729-5745)."""
+    return _pack_ids(deleted, seg_size, seg_schema, "__del__")
 
 
 def segment_search(
@@ -1159,6 +1285,7 @@ def segment_search(
     post_filter (the reference's scorer loop likewise visits every hit).
     """
     rq = wand_rewrite(index, q)
+    rq, cached_filters = _attach_filter_cache(index, rq)
     pairs = sorted(set(_collect_terms(rq)))
     ranges = _collect_ranges(rq)
     # cache the segments schema on the index — .schema is a py4j
@@ -1174,7 +1301,7 @@ def segment_search(
     seg_size = index.seg_size
     needs_all = _query_needs_all_docs(rq)
 
-    if not pairs and not needs_all and not ranges:
+    if not pairs and not needs_all and not ranges and not cached_filters:
         return index.spark.createDataFrame([], "doc_id long, score float")
 
     # Global df resolution. BM25 fuses the lookup INTO the scoring job:
@@ -1197,7 +1324,11 @@ def segment_search(
         rc = r.spark_cond()
         scan_cond = rc if scan_cond is None else (scan_cond | rc)
 
-    if (pairs or ranges) and not needs_all:
+    if not needs_all and scan_cond is None:
+        # filter-cache-only query: no posting rows needed at all — the
+        # packed __filt__ rows below carry the whole answer
+        seg_rows = index.segments.where(F.lit(False))
+    elif (pairs or ranges) and not needs_all:
         seg_rows = index.segments.where(scan_cond)
     else:
         # MatchAll-bearing queries must visit every segment
@@ -1260,6 +1391,14 @@ def segment_search(
                 "left",
             )
 
+    # cached filter doc-id sets ride the same seg_id shuffle as postings
+    for tag, cdir in cached_filters.items():
+        fdf = index.spark.read.parquet(cdir)
+        frows = _pack_ids(fdf, seg_size, seg_schema, f"__filt__:{tag}")
+        if has_gdf:
+            frows = frows.withColumn("gdf", F.lit(None).cast("long"))
+        seg_rows = seg_rows.unionByName(frows)
+
     if deleted is not None and isinstance(deleted, DataFrame):
         del_rows = _pack_deleted(deleted, seg_size, seg_schema)
         if has_gdf:
@@ -1313,12 +1452,17 @@ def segment_search(
         )
         dfs_local = dict(dfs)
         rows_by_ft = {}
+        filt_local: dict[str, np.ndarray] = {}
         for _, r in pdf.iterrows():
             fld = r["field"]
             if fld == "__stub__":
                 continue
             if fld.startswith("__df__:"):
                 dfs_local[(fld[7:], r["term"])] = int(r["df"])
+                continue
+            if fld.startswith("__filt__:"):
+                ids = np.frombuffer(bytes(r["doc_bin"]), dtype=np.int64)
+                filt_local[fld[9:]] = ids - base
                 continue
             if has_gdf and not pd.isna(r["gdf"]):
                 dfs_local[(fld, r["term"])] = int(r["gdf"])
@@ -1358,6 +1502,7 @@ def segment_search(
             ev = _SegEval(
                 rows_by_ft, dfs_local, n_docs, avgdl_map, base, seg_n, id_ranges
             )
+        ev.cached_filters = filt_local
         if use_wand and isinstance(rq_for_exec, MultiTermQuery):
             docs, scores = _wand_multiterm_topk(
                 ev, rq_for_exec, local_k, del_local
