@@ -238,7 +238,7 @@ class Analyzer:
                     continue
             out.append((t, pos))
         if self.stem:
-            from ferret_spark.porter import stem as _stem
+            from ferret_spark.porter2 import stem as _stem
 
             out = [(_stem(t), p) for t, p in out]
         return out
@@ -272,7 +272,7 @@ class Analyzer:
         mapped = self._map_re is not None
         do_stem = self.stem
         if do_stem:
-            from ferret_spark.porter import stem as _stem
+            from ferret_spark.porter2 import stem as _stem
 
         def fix(ts):
             out = []
@@ -314,7 +314,7 @@ class Analyzer:
             raise ValueError(self.tokenizer)
         std = self.tokenizer in ("standard", "standard_mb")
         if self.stem:
-            from ferret_spark.porter import stem as _stem
+            from ferret_spark.porter2 import stem as _stem
         out = []
         pos = -1
         for m in rx.finditer(text):
