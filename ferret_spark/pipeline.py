@@ -595,37 +595,128 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - real decode stubbed
-    """Real image decode requires PIL/libvips — not in this container.
-    The Spark-side plumbing (binary column, Arrow batching, schema) is real
-    and exercised via the deterministic fake featurizer below."""
-    raise NotImplementedError("image decode requires PIL; stubbed in sandbox")
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an image payload to an (H, W, 3) uint8 array.
+
+    Pure-numpy decoders for the container-less formats:
+      - PPM P6 (binary, maxval<=255) and P3 (ASCII)
+      - PGM P5 (grayscale, broadcast to 3 channels)
+      - BMP: uncompressed 24-bit BI_RGB (bottom-up or top-down rows)
+    Compressed codecs (JPEG/PNG/WebP) genuinely need external libraries
+    (PIL/libvips, absent here) and raise NotImplementedError."""
+    if payload[:2] in (b"P6", b"P3", b"P5"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "only PPM/PGM/BMP are decodable without PIL/libvips"
+    )
+
+
+def _decode_pnm(payload: bytes) -> "np.ndarray":
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comment lines start with '#'); pixel data follows the single
+    # whitespace byte after maxval
+    magic = payload[:2]
+    toks, pos = [], 2
+    while len(toks) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(int(payload[start:pos]))
+    w, h, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    pos += 1  # single whitespace after maxval
+    if magic == b"P3":
+        vals = np.array(payload[pos:].split(), dtype=np.int64)
+        return vals.reshape(h, w, 3).astype(np.uint8)
+    ch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=h * w * ch, offset=pos)
+    arr = arr.reshape(h, w, ch)
+    return arr if ch == 3 else np.repeat(arr, 3, axis=2)
+
+
+def _decode_bmp(payload: bytes) -> "np.ndarray":
+    import struct
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb if top_down else rgb[::-1]
+
+
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def resize_pixels(arr: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Deterministic resample: exact box-average when both factors divide
+    evenly (the common thumbnail case), else nearest-neighbor via
+    pixel-center index mapping."""
+    h, w = arr.shape[:2]
+    if h % out_h == 0 and w % out_w == 0:
+        fy, fx = h // out_h, w // out_w
+        boxes = arr.reshape(out_h, fy, out_w, fx, 3).astype(np.uint32)
+        return (boxes.mean(axis=(1, 3))).astype(np.uint8)
+    ys = np.minimum((np.arange(out_h) + 0.5) * h / out_h, h - 1).astype(int)
+    xs = np.minimum((np.arange(out_w) + 0.5) * w / out_w, w - 1).astype(int)
+    return arr[ys][:, xs]
 
 
 def media_resize(
     media: DataFrame, out_w: int = 64, out_h: int = 64
 ) -> DataFrame:
-    """Resize plumbing over binary media via mapInPandas (Arrow batches).
-    The real pixel decode/resample requires PIL/libvips (not in this
-    container) — the stand-in is a deterministic byte-downsample that
-    preserves the pipeline shape exactly: binary in -> binary out with
-    updated (width, height) metadata, batch-columnar, no driver data."""
+    """Resize over binary media via mapInPandas (Arrow batches): binary in
+    -> binary out with updated (width, height) metadata, batch-columnar,
+    no driver data.
+
+    Decodable payloads (PPM/PGM/BMP, per decode_image) get REAL pixel
+    resampling (box-average / nearest-neighbor) and are re-encoded as
+    binary PPM. Payloads needing external codecs keep the deterministic
+    byte-downsample stand-in so the pipeline shape stays uniform."""
 
     def resize(batches):
         for pdf in batches:
-            out_bytes = []
-            for b, w, h in zip(pdf["media"], pdf["width"], pdf["height"]):
+            out_bytes, out_types = [], []
+            for b, mt in zip(pdf["media"], pdf["media_type"]):
                 raw = bytes(b)
-                # deterministic stand-in for decode->resample->encode:
-                # stride-sample the payload to the target size
-                n = max(1, out_w * out_h // 8)
-                step = max(1, len(raw) // n)
-                out_bytes.append(raw[::step][:n])
+                try:
+                    px = decode_image(raw)
+                    out_bytes.append(
+                        encode_ppm(resize_pixels(px, out_w, out_h))
+                    )
+                    out_types.append("image/x-portable-pixmap")
+                except NotImplementedError:
+                    # stand-in for codec-bound formats: stride-sample the
+                    # payload to the target size
+                    n = max(1, out_w * out_h // 8)
+                    step = max(1, len(raw) // n)
+                    out_bytes.append(raw[::step][:n])
+                    out_types.append(mt)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media": out_bytes,
-                    "media_type": pdf["media_type"],
+                    "media_type": out_types,
                     "width": out_w,
                     "height": out_h,
                 }
