@@ -37,6 +37,15 @@ from ferret_spark.segments import (
 )
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer committed meta.json during this mutation.
+
+    The reference serializes writers with an in-process mutex + store lock
+    (c/src/index.c:6337); FerretIndex instead assumes a single driver-side
+    writer and turns a detected interleave into a hard error rather than
+    silent index corruption."""
+
+
 class FerretIndex:
     def __init__(
         self,
@@ -595,9 +604,31 @@ class FerretIndex:
         # every meta write is a new generation: the filter doc-set cache
         # (wand._attach_filter_cache) keys on it, so any add/delete-apply/
         # optimize invalidates cached filter results structurally
+        #
+        # SINGLE-WRITER PROTOCOL: unlike the reference, which serializes
+        # concurrent writers with an in-process mutex and lock files
+        # (c/src/index.c:6337, c/src/store.c), this index assumes ONE
+        # driver-side writer. Every mutator reads meta.json at the start
+        # of the call and commits it here; if the on-disk version moved in
+        # between, a second writer committed concurrently and this write
+        # would silently drop its generations/deletes — fail loudly
+        # instead (check-and-fail CAS; see SCALE.md "Writer concurrency").
+        mpath = os.path.join(self.path, "meta.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                disk_ver = json.load(f).get("version", 0)
+            if disk_ver != meta.get("version", 0):
+                raise ConcurrentWriterError(
+                    f"meta.json version moved {meta.get('version', 0)} -> "
+                    f"{disk_ver} during this operation: another writer "
+                    "committed concurrently. FerretIndex requires a single "
+                    "writer; serialize index mutations externally."
+                )
         meta["version"] = meta.get("version", 0) + 1
-        with open(os.path.join(self.path, "meta.json"), "w") as f:
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, mpath)  # atomic: no torn meta.json on crash
         fc = os.path.join(self.path, "filter_cache")
         if os.path.isdir(fc):
             import shutil
