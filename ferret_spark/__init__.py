@@ -19,15 +19,20 @@ Reference parity targets are cited per-module as /root/reference file:line.
 from ferret_spark.query import (  # noqa: F401
     BooleanQuery,
     Clause,
+    FilteredQuery,
+    Filter,
     FuzzyQuery,
     MatchAllQuery,
     MUST,
     MUST_NOT,
     PhraseQuery,
     PrefixQuery,
+    QueryFilter,
+    RangeFilter,
     RangeQuery,
     SHOULD,
     TermQuery,
+    TypedRangeFilter,
     WildcardQuery,
 )
 from ferret_spark.spans import (  # noqa: F401

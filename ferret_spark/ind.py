@@ -415,6 +415,21 @@ class FerretIndex:
             return None
         return self.spark.read.parquet(p).select("doc_id")
 
+    def _deleted_state_key(self):
+        """Fingerprint of the deletes parquet dir — keys the packed-deletes
+        cache in segment_search (the pack shuffle runs once per deletes
+        state, not once per search)."""
+        p = self._deleted_path()
+        if not os.path.exists(p):
+            return None
+        return tuple(
+            sorted(
+                (f, os.path.getsize(os.path.join(p, f)))
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        )
+
     def delete_by_term(self, field: str, term: str) -> int:
         return self.delete_by_query(TermQuery(field=field, term=term))
 
@@ -435,6 +450,7 @@ class FerretIndex:
         return segment_search(
             self.index, q, k=k, offset=offset, deleted=self.deleted_df(),
             post_filter=post_filter,
+            deleted_cache_key=self._deleted_state_key(),
         )
 
     def query(self, fql: str, k: int = 10, **kw) -> DataFrame:

@@ -111,6 +111,77 @@ class MatchAllQuery(Query):
     pass
 
 
+# ---------------------------------------------------------------------------
+# Filters + FilteredQuery (c/src/q_filtered_query.c, c/src/filter.c)
+
+
+@dataclass(frozen=True)
+class Filter:
+    """Marker base for filter objects (frt_filt_t analog). Filters
+    constrain the matching doc set without contributing score; their
+    doc-id sets are cached per index generation (frt_filter_get_bv,
+    c/src/filter.c:24-38 — see wand._attach_filter_cache)."""
+
+
+@dataclass(frozen=True)
+class RangeFilter(Filter):
+    """String range filter (frt_rfilt_new, c/src/q_range.c:218-277)."""
+
+    field: str = DEFAULT_FIELD
+    lower: str | float | None = None
+    upper: str | float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    typed: bool = False
+
+
+def TypedRangeFilter(**kw) -> RangeFilter:
+    """Numeric range filter (frt_trfilt_new, c/src/q_range.c:330-430)."""
+    return RangeFilter(typed=True, **kw)
+
+
+@dataclass(frozen=True)
+class QueryFilter(Filter):
+    """Any query as a filter (frt_qfilt_new, c/src/q_filtered_query.c /
+    c/src/filter.c:128-180): matching docs constrain, score is ignored."""
+
+    query: "Query" = None  # type: ignore[assignment]
+
+
+@dataclass(frozen=True)
+class FilteredQuery(Query):
+    """Scored query restricted to a filter's doc set; the hit score is the
+    sub-query's score unchanged (fqsc_score returns the sub-scorer's
+    score verbatim, c/src/q_filtered_query.c:21-25). Rewrites to a
+    BooleanQuery of (MUST query, MUST zero-boost filter clause): every
+    returned hit matches both clauses, so coord = matching/total = 1 and
+    the zero-boost clause adds 0 — the composition is score-exact in
+    both bm25 and tfidf modes, while range/term filters flow into the
+    per-generation cached-filter machinery."""
+
+    query: "Query" = None  # type: ignore[assignment]
+    filter: Filter = None  # type: ignore[assignment]
+
+
+def filter_as_query(f: Filter) -> "Query":
+    """The filter's zero-boost query form (constrains, never scores)."""
+    import dataclasses
+
+    if isinstance(f, RangeFilter):
+        return RangeQuery(
+            boost=0.0,
+            field=f.field,
+            lower=f.lower,
+            upper=f.upper,
+            include_lower=f.include_lower,
+            include_upper=f.include_upper,
+            typed=f.typed,
+        )
+    if isinstance(f, QueryFilter):
+        return dataclasses.replace(f.query, boost=0.0)
+    raise TypeError(f"not a Filter: {f!r}")
+
+
 @dataclass(frozen=True)
 class MultiTermQuery(Query):
     """OR over boosted terms — the rewrite target of prefix/wildcard/fuzzy
@@ -190,6 +261,14 @@ def rewrite(q: Query, term_dict) -> Query:
     """Rewrite to primitive queries to fixpoint (isea_rewrite,
     c/src/search.c:1217-1229). ``term_dict`` maps field -> collection of
     terms present in the index."""
+    if isinstance(q, FilteredQuery):
+        return BooleanQuery(
+            boost=q.boost,
+            clauses=(
+                Clause(rewrite(q.query, term_dict), MUST),
+                Clause(rewrite(filter_as_query(q.filter), term_dict), MUST),
+            ),
+        )
     if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery)):
         terms = expand_terms(q, term_dict.get(q.field, ()))
         return MultiTermQuery(boost=q.boost, field=q.field, terms=tuple(terms))

@@ -36,6 +36,7 @@ from ferret_spark.query import (
     SHOULD,
     BooleanQuery,
     Clause,
+    FilteredQuery,
     FuzzyQuery,
     MatchAllQuery,
     MultiTermQuery,
@@ -97,6 +98,16 @@ def spark_expand(index, q: Query) -> MultiTermQuery:
 
 
 def spark_rewrite(index, q: Query) -> Query:
+    if isinstance(q, FilteredQuery):
+        from ferret_spark.query import filter_as_query
+
+        return BooleanQuery(
+            boost=q.boost,
+            clauses=(
+                Clause(spark_rewrite(index, q.query), MUST),
+                Clause(spark_rewrite(index, filter_as_query(q.filter)), MUST),
+            ),
+        )
     if isinstance(q, (PrefixQuery, WildcardQuery, FuzzyQuery)):
         return spark_expand(index, q)
     if isinstance(q, BooleanQuery):

@@ -1271,6 +1271,7 @@ def segment_search(
     similarity: str = "bm25",
     doc_boosts: dict[int, float] | None = None,
     post_filter=None,
+    deleted_cache_key=None,
 ) -> DataFrame:
     """``deleted`` is a DataFrame with a doc_id column (distributed path —
     each segment task receives only ITS deletions as a packed binary row)
@@ -1400,7 +1401,24 @@ def segment_search(
         seg_rows = seg_rows.unionByName(frows)
 
     if deleted is not None and isinstance(deleted, DataFrame):
-        del_rows = _pack_deleted(deleted, seg_size, seg_schema)
+        # the pack is a groupBy shuffle of the deletes parquet — cache it
+        # per deletes-state so repeated searches on the same index
+        # generation reuse the persisted partitions (the caller supplies
+        # the state key; FerretIndex keys on the deletes dir listing)
+        cached = getattr(index, "_packed_del_cache", None)
+        if (
+            deleted_cache_key is not None
+            and cached is not None
+            and cached[0] == deleted_cache_key
+        ):
+            del_rows = cached[1]
+        else:
+            del_rows = _pack_deleted(deleted, seg_size, seg_schema)
+            if deleted_cache_key is not None:
+                del_rows = del_rows.persist()
+                if cached is not None:
+                    cached[1].unpersist()
+                index._packed_del_cache = (deleted_cache_key, del_rows)
         if has_gdf:
             del_rows = del_rows.withColumn("gdf", F.lit(None).cast("long"))
         seg_rows = seg_rows.unionByName(del_rows)
