@@ -343,6 +343,39 @@ def _q_keyword_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FilteredQuery (c/src/q_filtered_query.c): BM25 term query restricted
+    to a keyword range filter; hit scores are the sub-query's scores
+    unchanged (fqsc_score), the filter only constrains the doc set."""
+    from ferret_spark.query import FilteredQuery, RangeFilter, TermQuery
+
+    idx = _get_index(spark, sf_dir)
+    fq = FilteredQuery(
+        query=TermQuery(field="text", term="spark"),
+        filter=RangeFilter(field="lang", lower="de", upper="es"),
+    )
+    return _topk(idx, fq)
+
+
+def _sql_filtered(k: int = K) -> str:
+    idf = _IDF.format(n="st.n", df="ts.df::DOUBLE")
+    tfp = _TFP.format(tf="p.tf", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT p.doc_id, {idf} * {tfp} AS s
+  FROM p
+  JOIN tstat ts ON ts.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  JOIN documents doc ON doc.doc_id = p.doc_id
+  CROSS JOIN st
+  WHERE p.term = 'spark' AND doc.lang BETWEEN 'de' AND 'es'
+)"""
+        + _RANKED.format(k=k)
+    )
+
+
 def _q_doc_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row content sha256 — the input_hint invariant surface."""
     idx = _get_index(spark, sf_dir)
@@ -1016,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_corpus_stats": _q_corpus_stats,
         "ft_range_nchars": _q_range_nchars,
         "ft_keyword_lang": _q_keyword_lang,
+        "ft_filtered": _q_filtered,
         "ft_doc_sha256": _q_doc_sha,
     }
 
@@ -1076,6 +1110,7 @@ FROM dl
         "ft_keyword_lang": (
             "SELECT doc_id FROM documents WHERE lang = 'en' ORDER BY doc_id"
         ),
+        "ft_filtered": _sql_filtered(),
         "ft_doc_sha256": (
             "SELECT doc_id, sha256(text) AS sha FROM documents "
             "ORDER BY doc_id LIMIT 100"
