@@ -646,6 +646,11 @@ def corpus_stats_from_segments(
 
 
 def _dir_bytes(p: str) -> int:
+    if os.path.isfile(p):
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return 0
     total = 0
     for root, _d, files in os.walk(p):
         for fn in files:
@@ -805,7 +810,9 @@ class SegmentIndexBuilder:
             }
             with open(os.path.join(path, "meta.json"), "w") as f:
                 json.dump(meta, f)
-            self._finish("meta", 1, t0, path)
+            # size only meta.json — the whole index dir would double-count
+            # every prior stage's bytes in the manifest
+            self._finish("meta", 1, t0, os.path.join(path, "meta.json"))
         return SegmentIndex.load(spark, path)
 
 
