@@ -409,7 +409,11 @@ def merge_segments(
         # the whole merge twice. Files stay sorted within partitions, so
         # parquet rowgroup min/max stats still prune term lookups.
         spark = segments.sparkSession
-        n_part = max(4, spark.sparkContext.defaultParallelism)
+        # 4x cores: the Zipf head makes (field, term) buckets skewed, and
+        # at 1 task/core the stage wall is the slowest straggler — smaller
+        # quanta smooth it (measured at 8 cores: 6.65s @1x -> 4.56s @4x;
+        # 8x reverses the gain via per-file commit overhead)
+        n_part = max(4, 4 * spark.sparkContext.defaultParallelism)
         src = segments.repartition(n_part, "field", "term")
         return _concat_stage(src, ["field", "term"]).select(
             "field", "term", "df",
