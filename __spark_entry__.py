@@ -343,6 +343,65 @@ def _q_keyword_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ferret_spark.pipeline import dedup_clusters
+
+    return dedup_clusters(spark, sf_dir)
+
+
+def _sql_dedup_clusters() -> str:
+    """Transitive closure over the LSH pair set via recursive CTE; label =
+    min reachable doc_id (the DataFrame side converges to the same fixed
+    point by min-label propagation)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_sql_minhash_lsh()}) t
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, w.lbl FROM edges e JOIN walk w ON w.node = e.d
+)
+SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
+FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+
+def _q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ferret_spark.pipeline import keywords_tfidf
+
+    return keywords_tfidf(spark, sf_dir, k=3)
+
+
+def _sql_keywords(k: int = 3) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ranked AS (
+  SELECT doc_id, term,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(tf * ln(n.n / df), 9) DESC, term ASC
+         ) AS rk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, string_agg(term, ',' ORDER BY rk) AS keywords
+FROM ranked WHERE rk <= {k} GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FilteredQuery (c/src/q_filtered_query.c): BM25 term query restricted
     to a keyword range filter; hit scores are the sub-query's scores
@@ -1049,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_corpus_stats": _q_corpus_stats,
         "ft_range_nchars": _q_range_nchars,
         "ft_keyword_lang": _q_keyword_lang,
+        "pp_dedup_clusters": _q_dedup_clusters,
+        "pp_keywords_tfidf": _q_keywords,
         "ft_filtered": _q_filtered,
         "ft_doc_sha256": _q_doc_sha,
     }
@@ -1110,6 +1171,8 @@ FROM dl
         "ft_keyword_lang": (
             "SELECT doc_id FROM documents WHERE lang = 'en' ORDER BY doc_id"
         ),
+        "pp_dedup_clusters": _sql_dedup_clusters(),
+        "pp_keywords_tfidf": _sql_keywords(),
         "ft_filtered": _sql_filtered(),
         "ft_doc_sha256": (
             "SELECT doc_id, sha256(text) AS sha FROM documents "

@@ -33,7 +33,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("FERRET_BENCH_DOCS", "60000"))
+N_DOCS = int(os.environ.get("FERRET_BENCH_DOCS", "120000"))
 SKIP_SCALING = os.environ.get("FERRET_BENCH_SKIP_SCALING", "") == "1"
 N_REPS = int(os.environ.get("FERRET_BENCH_REPS", "3"))  # max paired trials
 # wall budget for the scaling phase: no NEW trial starts past this (the
@@ -70,8 +70,14 @@ def build_run(cores: int, out_dir: str) -> dict:
     corpus = synth_corpus_df(spark, N_DOCS, num_partitions=64)
     corpus = corpus.persist()
     n = corpus.count()
-    # 64 segments: whole waves at both parallelism levels
-    seg_size = max(256, (N_DOCS + 63) // 64)
+    # 128 segments -> whole waves at both parallelism levels AND a ~1k-doc
+    # task quantum: inversion is memory-bandwidth-bound, and per-task wall
+    # doubles once concurrent workers each chew ~2k-doc working sets
+    # (measured: 1875-doc segments at 8 workers -> 5.3s/task vs 2.6s at 2
+    # workers; 938-doc segments stay at ~1.2s/task at both levels). At 60k
+    # docs the 14s build was also fixed-cost-dominated (~2s of per-job
+    # overhead) — 120k amortizes it; see BENCH/BASELINE.md round 3.
+    seg_size = max(256, (N_DOCS + 127) // 128)
     # warmup: a miniature end-to-end build compiles every plan shape and
     # spins the pandas workers
     warm_dir = f"{out_dir}_warm"

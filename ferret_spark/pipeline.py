@@ -559,6 +559,119 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs: every doc
+    in a candidate pair gets cluster_id = min doc_id of its component
+    (the canonicalization step after pair generation in a dedup pipeline —
+    keep one representative per cluster, drop the rest).
+
+    Distributed min-label propagation: each round is one join + groupBy
+    (label[x] <- min(label[x], min label of x's neighbors)), converging in
+    <= diameter rounds — the standard large-graph CC shape (no driver-side
+    union-find; edges and labels stay DataFrames throughout). Rounds are
+    data-dependent but bounded; the convergence check is a count() per
+    round, and near-dup components have tiny diameters in practice."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    fwd = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", "label")
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def keywords_tfidf(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document (document tagging / topic
+    features for a training-data pipeline). Pure JVM: tokenize ->
+    (doc, term, tf) -> df per term -> tf * ln(N/df), rank per doc by
+    (score desc, term asc), keep k, serialize as csv for comparability."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = d.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            ).alias("s"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("s"), F.asc("term")
+                )
+            ),
+        )
+        .where(F.col("rk") <= k)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list(F.struct("rk", "term"))), lambda x: x["term"])
+            ).alias("keywords")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (word-shuffle-invariant near-dup key)."""

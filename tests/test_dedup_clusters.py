@@ -1,0 +1,89 @@
+"""Connected-components canonicalization + TF-IDF keywords."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _cc_reference(pairs):
+    """Driver-side union-find for the expected clustering."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_label_propagation_matches_union_find(spark, monkeypatch):
+    """Chain + triangle + singleton-pair topology, incl. a diameter-4
+    chain that needs multiple propagation rounds."""
+    import ferret_spark.pipeline as P
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+             (20, 21), (30, 31), (31, 40), (39, 40)]
+    pairs_df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    monkeypatch.setattr(
+        P, "dedup_minhash_lsh", lambda s, d, **kw: pairs_df
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in P.dedup_clusters(spark, "unused").collect()
+    }
+    assert got == _cc_reference(pairs)
+    # canonical representative is the component's min doc_id
+    assert got[5] == 1 and got[12] == 10 and got[40] == 30
+
+
+def test_dedup_clusters_on_real_pairs(spark):
+    """End-to-end over the sf0.001 documents: every clustered doc pairs
+    with at least one other doc of the same cluster, labels are component
+    minima, and the clustering agrees with union-find over the pairs."""
+    from ferret_spark.pipeline import dedup_clusters, dedup_minhash_lsh
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sf).collect()
+    ]
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(spark, sf).collect()
+    }
+    assert got == _cc_reference(pairs)
+
+
+def test_keywords_tfidf_shape_and_signal(spark):
+    from ferret_spark.pipeline import keywords_tfidf
+
+    out = keywords_tfidf(spark, "/root/testdata/sf0.001", k=3).collect()
+    assert len(out) > 0
+    for r in out[:20]:
+        kws = r["keywords"].split(",")
+        assert 1 <= len(kws) <= 3
+        assert all(kws)
+
+
+def test_keywords_tfidf_rare_term_wins(spark, tmp_path):
+    """A term unique to one doc must outrank corpus-wide terms."""
+    import ferret_spark.pipeline as P
+
+    rows = [(0, "common words here plus zebra zebra"),
+            (1, "common words here again and again"),
+            (2, "common words here more common words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs")
+    df.write.parquet(path + "/documents.parquet")
+    out = {
+        r["doc_id"]: r["keywords"]
+        for r in P.keywords_tfidf(spark, path, k=1).collect()
+    }
+    assert out[0] == "zebra"
