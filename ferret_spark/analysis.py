@@ -193,7 +193,7 @@ class Analyzer:
         hyphens: bool = False,
         name: str | None = None,
         mappings: dict[str, str] | None = None,
-        stem: bool = False,
+        stem: bool | str = False,
     ):
         self.tokenizer = tokenizer
         self.lowercase = lowercase
@@ -238,8 +238,9 @@ class Analyzer:
                     continue
             out.append((t, pos))
         if self.stem:
-            from ferret_spark.porter2 import stem as _stem
+            from ferret_spark.snowball import get_stemmer
 
+            _stem = get_stemmer(self.stem)
             out = [(_stem(t), p) for t, p in out]
         return out
 
@@ -272,7 +273,9 @@ class Analyzer:
         mapped = self._map_re is not None
         do_stem = self.stem
         if do_stem:
-            from ferret_spark.porter2 import stem as _stem
+            from ferret_spark.snowball import get_stemmer
+
+            _stem = get_stemmer(self.stem)
 
         def fix(ts):
             out = []
@@ -314,7 +317,9 @@ class Analyzer:
             raise ValueError(self.tokenizer)
         std = self.tokenizer in ("standard", "standard_mb")
         if self.stem:
-            from ferret_spark.porter2 import stem as _stem
+            from ferret_spark.snowball import get_stemmer
+
+            _stem = get_stemmer(self.stem)
         out = []
         pos = -1
         for m in rx.finditer(text):
@@ -395,5 +400,7 @@ ANALYZERS: dict[str, Analyzer] = {
 }
 
 
-def get_analyzer(name: str) -> Analyzer:
+def get_analyzer(name: "str | Analyzer") -> Analyzer:
+    if isinstance(name, Analyzer):  # instances pass through (custom
+        return name  # analyzers, e.g. per-language stem configs)
     return ANALYZERS[name]

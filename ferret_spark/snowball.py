@@ -1,0 +1,60 @@
+"""Stemmer registry — the StemFilter algorithm-name surface.
+
+Reference parity (stem_filter_new, c/src/analysis.c:1447-1487): names
+are lowercased before lookup ('HunGarIaN' is accepted spelling for
+'hungarian'); a name libstemmer doesn't know raises (the Ruby binding
+surfaces that as ArgumentError, tc_token_stream.rb:489-491). Names the
+bundled libstemmer knows but this port doesn't implement yet raise
+NotImplementedError — distinct from the invalid-name error."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+
+def _english():
+    from ferret_spark.porter2 import stem
+
+    return stem
+
+
+def _porter():
+    from ferret_spark.porter import stem
+
+    return stem
+
+
+def _german():
+    from ferret_spark.snowball_de import stem
+
+    return stem
+
+
+_IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
+    "english": _english,
+    "porter": _porter,  # original Porter (1980), kept as its own algorithm
+    "german": _german,
+}
+
+# sb_stemmer_list() of the bundled libstemmer
+_LIBSTEMMER_NAMES = frozenset(
+    "danish dutch english finnish french german hungarian italian "
+    "norwegian porter portuguese romanian russian spanish swedish "
+    "turkish".split()
+)
+
+
+def get_stemmer(name: str | bool = "english") -> Callable[[str], str]:
+    if name is True:
+        name = "english"
+    n = str(name).lower()
+    loader = _IMPLEMENTED.get(n)
+    if loader is not None:
+        return loader()
+    if n in _LIBSTEMMER_NAMES:
+        raise NotImplementedError(
+            f"stemming algorithm {n!r} is a valid libstemmer name but is "
+            "not implemented in this port (available: "
+            f"{sorted(_IMPLEMENTED)})"
+        )
+    raise ValueError(f"unknown stemming algorithm: {name!r}")
