@@ -30,10 +30,17 @@ def _german():
     return stem
 
 
+def _spanish():
+    from ferret_spark.snowball_es import stem
+
+    return stem
+
+
 _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "english": _english,
     "porter": _porter,  # original Porter (1980), kept as its own algorithm
     "german": _german,
+    "spanish": _spanish,
 }
 
 # sb_stemmer_list() of the bundled libstemmer
