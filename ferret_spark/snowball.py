@@ -36,11 +36,18 @@ def _spanish():
     return stem
 
 
+def _french():
+    from ferret_spark.snowball_fr import stem
+
+    return stem
+
+
 _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "english": _english,
     "porter": _porter,  # original Porter (1980), kept as its own algorithm
     "german": _german,
     "spanish": _spanish,
+    "french": _french,
 }
 
 # sb_stemmer_list() of the bundled libstemmer
