@@ -42,12 +42,19 @@ def _french():
     return stem
 
 
+def _italian():
+    from ferret_spark.snowball_it import stem
+
+    return stem
+
+
 _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "english": _english,
     "porter": _porter,  # original Porter (1980), kept as its own algorithm
     "german": _german,
     "spanish": _spanish,
     "french": _french,
+    "italian": _italian,
 }
 
 # sb_stemmer_list() of the bundled libstemmer
