@@ -48,6 +48,12 @@ def _italian():
     return stem
 
 
+def _portuguese():
+    from ferret_spark.snowball_pt import stem
+
+    return stem
+
+
 _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "english": _english,
     "porter": _porter,  # original Porter (1980), kept as its own algorithm
@@ -55,6 +61,7 @@ _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "spanish": _spanish,
     "french": _french,
     "italian": _italian,
+    "portuguese": _portuguese,
 }
 
 # sb_stemmer_list() of the bundled libstemmer
