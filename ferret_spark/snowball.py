@@ -54,6 +54,12 @@ def _portuguese():
     return stem
 
 
+def _russian():
+    from ferret_spark.snowball_ru import stem
+
+    return stem
+
+
 _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "english": _english,
     "porter": _porter,  # original Porter (1980), kept as its own algorithm
@@ -62,6 +68,7 @@ _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "french": _french,
     "italian": _italian,
     "portuguese": _portuguese,
+    "russian": _russian,
 }
 
 # sb_stemmer_list() of the bundled libstemmer
