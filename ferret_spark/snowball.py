@@ -60,6 +60,24 @@ def _russian():
     return stem
 
 
+def _danish():
+    from ferret_spark.snowball_scand import stem_danish
+
+    return stem_danish
+
+
+def _norwegian():
+    from ferret_spark.snowball_scand import stem_norwegian
+
+    return stem_norwegian
+
+
+def _swedish():
+    from ferret_spark.snowball_scand import stem_swedish
+
+    return stem_swedish
+
+
 _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "english": _english,
     "porter": _porter,  # original Porter (1980), kept as its own algorithm
@@ -69,6 +87,9 @@ _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "italian": _italian,
     "portuguese": _portuguese,
     "russian": _russian,
+    "danish": _danish,
+    "norwegian": _norwegian,
+    "swedish": _swedish,
 }
 
 # sb_stemmer_list() of the bundled libstemmer
