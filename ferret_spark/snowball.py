@@ -78,6 +78,12 @@ def _swedish():
     return stem_swedish
 
 
+def _dutch():
+    from ferret_spark.snowball_nl import stem
+
+    return stem
+
+
 _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "english": _english,
     "porter": _porter,  # original Porter (1980), kept as its own algorithm
@@ -90,6 +96,7 @@ _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "danish": _danish,
     "norwegian": _norwegian,
     "swedish": _swedish,
+    "dutch": _dutch,
 }
 
 # sb_stemmer_list() of the bundled libstemmer
