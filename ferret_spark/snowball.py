@@ -84,6 +84,12 @@ def _dutch():
     return stem
 
 
+def _romanian():
+    from ferret_spark.snowball_ro import stem
+
+    return stem
+
+
 _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "english": _english,
     "porter": _porter,  # original Porter (1980), kept as its own algorithm
@@ -97,6 +103,7 @@ _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "norwegian": _norwegian,
     "swedish": _swedish,
     "dutch": _dutch,
+    "romanian": _romanian,
 }
 
 # sb_stemmer_list() of the bundled libstemmer
