@@ -90,6 +90,12 @@ def _romanian():
     return stem
 
 
+def _finnish():
+    from ferret_spark.snowball_fi import stem
+
+    return stem
+
+
 _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "english": _english,
     "porter": _porter,  # original Porter (1980), kept as its own algorithm
@@ -104,6 +110,7 @@ _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "swedish": _swedish,
     "dutch": _dutch,
     "romanian": _romanian,
+    "finnish": _finnish,
 }
 
 # sb_stemmer_list() of the bundled libstemmer
