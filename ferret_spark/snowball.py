@@ -96,6 +96,12 @@ def _finnish():
     return stem
 
 
+def _hungarian():
+    from ferret_spark.snowball_hu import stem
+
+    return stem
+
+
 _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "english": _english,
     "porter": _porter,  # original Porter (1980), kept as its own algorithm
@@ -111,6 +117,7 @@ _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "dutch": _dutch,
     "romanian": _romanian,
     "finnish": _finnish,
+    "hungarian": _hungarian,
 }
 
 # sb_stemmer_list() of the bundled libstemmer
