@@ -57,14 +57,70 @@ from ferret_spark.query import (
 # Spark-side rewrite: multi-term expansion with SQL pushdown
 
 
-def spark_expand(index, q: Query) -> MultiTermQuery:
+import dataclasses as _dc
+
+
+@_dc.dataclass(frozen=True)
+class ConstantScoreMatch(Query):
+    """Fallback rewrite of a prefix/wildcard query whose expansion exceeds
+    MAX_EXPANDED_TERMS: the term list is NEVER materialized driver-side;
+    the match ships as a predicate pushed into the segments scan (startswith
+    / anchored regex) and is re-checked per posting row executor-side —
+    the multi-term analog of ConstantScoreRange, with the reference's
+    RangeFilter recall semantics (every matching term contributes,
+    c/src/q_range.c:218-277) at constant score boost*1.0. Below the cap the
+    rewrite stays a scored MultiTermQuery (c/src/q_multi_term.c:41-120)."""
+
+    field: str = "content"
+    prefix: str = ""
+    pattern: str | None = None  # anchored full-match regex; None = prefix only
+
+    def matches(self, term: str) -> bool:
+        if self.prefix and not term.startswith(self.prefix):
+            return False
+        if self.pattern is not None:
+            import re
+
+            return re.match(self.pattern, term) is not None
+        return True
+
+    def spark_cond(self):
+        """Predicate over the segments/postings table's `term` column
+        (pushed into the parquet scan — startswith prunes on rowgroup
+        min/max stats like the term-dict tier)."""
+        cond = F.col("field") == self.field
+        if self.prefix:
+            cond = cond & F.col("term").startswith(self.prefix)
+        if self.pattern is not None:
+            cond = cond & F.col("term").rlike(self.pattern)
+        return cond
+
+
+def spark_expand(index, q: Query) -> Query:
+    """Multi-term expansion with the term-dict limit pushed INTO the scan
+    (TakeOrderedAndProject): the driver collects at most cap+1 terms no
+    matter how many match — a one-letter prefix over a 10^9-term vocabulary
+    stays O(cap) driver-side. Past the cap, prefix/wildcard fall back to a
+    pushed predicate (ConstantScoreMatch); fuzzy pushes its similarity
+    scoring (F.levenshtein, bit-identical to query.edit_distance) into the
+    scan so the top-cap-by-score truncation (reference min-boost PQ,
+    c/src/q_multi_term.c:41-120) is itself a TakeOrderedAndProject."""
     ts = index.term_stats
     f = q.field
     base = ts.where(F.col("field") == f)
+    cap = MAX_EXPANDED_TERMS
     if isinstance(q, PrefixQuery):
         cand = base.where(F.col("term").startswith(q.prefix))
-        terms = sorted(r["term"] for r in cand.select("term").collect())
-        pairs = [(t, 1.0) for t in terms[:MAX_EXPANDED_TERMS]]
+        # equal-boost PQ truncation keeps the first cap terms in term order
+        # (expand_terms sorts by (boost desc, term asc)) -> orderBy+limit
+        # is semantics-identical and bounds the collect
+        terms = [
+            r["term"]
+            for r in cand.select("term").orderBy("term").limit(cap + 1).collect()
+        ]
+        if len(terms) > cap:
+            return ConstantScoreMatch(boost=q.boost, field=f, prefix=q.prefix)
+        pairs = [(t, 1.0) for t in terms]
     elif isinstance(q, WildcardQuery):
         lit_prefix = q.pattern.split("*")[0].split("?")[0]
         cand = base
@@ -72,8 +128,15 @@ def spark_expand(index, q: Query) -> MultiTermQuery:
             cand = cand.where(F.col("term").startswith(lit_prefix))
         rx = glob_to_regex(q.pattern)
         cand = cand.where(F.col("term").rlike(rx))
-        terms = sorted(r["term"] for r in cand.select("term").collect())
-        pairs = [(t, 1.0) for t in terms[:MAX_EXPANDED_TERMS]]
+        terms = [
+            r["term"]
+            for r in cand.select("term").orderBy("term").limit(cap + 1).collect()
+        ]
+        if len(terms) > cap:
+            return ConstantScoreMatch(
+                boost=q.boost, field=f, prefix=lit_prefix, pattern=rx
+            )
+        pairs = [(t, 1.0) for t in terms]
     elif isinstance(q, FuzzyQuery):
         pre = q.term[: q.prefix_len]
         max_delta = int(math.ceil((1.0 - q.min_sim) * len(q.term))) + 1
@@ -84,14 +147,32 @@ def spark_expand(index, q: Query) -> MultiTermQuery:
         )
         if pre:
             cand = cand.where(F.col("term").startswith(pre))
-        pairs = []
-        for r in cand.select("term").collect():
-            t = r["term"]
-            s = fuzzy_score(q.term, t, q.prefix_len)
-            if s > q.min_sim:
-                pairs.append((t, s))
-        pairs.sort(key=lambda ts_: (-ts_[1], ts_[0]))
-        pairs = pairs[:MAX_EXPANDED_TERMS]
+        # similarity computed JVM-side: F.levenshtein == query.edit_distance
+        # (plain Levenshtein over the non-prefix parts), and
+        # 1 - dist/m on int inputs is the same IEEE double both sides, so
+        # the pushed filter + top-cap ordering match the Python scorer
+        # bit-exactly. Boosts are recomputed driver-side on the <=cap
+        # survivors for oracle parity.
+        suffix = F.col("term").substr(F.lit(q.prefix_len + 1), F.lit(2**30))
+        qsuf = q.term[q.prefix_len:]
+        dist = F.levenshtein(suffix, F.lit(qsuf))
+        m = F.least(F.length(suffix), F.lit(len(qsuf))) + F.lit(q.prefix_len)
+        sim = F.when(
+            (F.length(suffix) == 0) & (F.lit(len(qsuf)) == 0), F.lit(1.0)
+        ).otherwise(
+            F.when(m == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - dist.cast("double") / m.cast("double")
+            )
+        )
+        rows = (
+            cand.select("term", sim.alias("_sim"))
+            .where(F.col("_sim") > F.lit(q.min_sim))
+            .orderBy(F.col("_sim").desc(), F.col("term").asc())
+            .limit(cap)
+            .collect()
+        )
+        pairs = [(r["term"], fuzzy_score(q.term, r["term"], q.prefix_len))
+                 for r in rows]
     else:  # pragma: no cover
         raise TypeError(type(q))
     return MultiTermQuery(boost=q.boost, field=f, terms=tuple(pairs))
@@ -216,6 +297,14 @@ class _Planner:
 
     def plan_match_all(self, q: MatchAllQuery) -> DataFrame:
         return self.index.docs.select(
+            "doc_id", (F.lit(q.boost) * F.lit(1.0)).alias("score")
+        )
+
+    def plan_const_match(self, q: "ConstantScoreMatch") -> DataFrame:
+        # uncapped prefix/wildcard fallback: predicate pushed into the
+        # postings scan; term list never leaves the executors
+        p = self.index.postings.where(q.spark_cond())
+        return p.select("doc_id").distinct().select(
             "doc_id", (F.lit(q.boost) * F.lit(1.0)).alias("score")
         )
 
@@ -384,6 +473,8 @@ class _Planner:
             return self.plan_match_all(q)
         if isinstance(q, RangeQuery):
             return self.plan_range(q)
+        if isinstance(q, ConstantScoreMatch):
+            return self.plan_const_match(q)
         raise TypeError(f"unsupported query {type(q).__name__}")
 
     def _empty(self) -> DataFrame:

@@ -43,7 +43,7 @@ from ferret_spark.query import (
     RangeQuery,
     TermQuery,
 )
-from ferret_spark.search import spark_rewrite
+from ferret_spark.search import ConstantScoreMatch, spark_rewrite
 
 
 @dataclass(frozen=True)
@@ -133,6 +133,8 @@ def _filter_cache_key(node) -> str:
 
     if isinstance(node, ConstantScoreTerms):
         raw = repr(("terms", node.field, node.terms))
+    elif isinstance(node, ConstantScoreMatch):
+        raw = repr(("match", node.field, node.prefix, node.pattern))
     else:
         raw = repr(
             (
@@ -190,7 +192,9 @@ def _attach_filter_cache(index, q: Query):
     cached: dict[str, str] = {}
 
     def walk(node):
-        if isinstance(node, (ConstantScoreTerms, ConstantScoreRange)):
+        if isinstance(
+            node, (ConstantScoreTerms, ConstantScoreRange, ConstantScoreMatch)
+        ):
             tag = _filter_cache_key(node)
             cdir = os.path.join(path, "filter_cache", f"v{gen}", tag)
             try:
@@ -248,15 +252,21 @@ def _expand_span(index, q):
     )
 
     if isinstance(q, SpanPrefixQuery):
+        # truncation is in term order, so the cap is pushed into the
+        # term-dict scan (TakeOrderedAndProject) — the driver never sees
+        # more than max_terms rows no matter how wide the prefix
+        # (FrtSpanPrefixQuery max_terms, c/src/q_span.c)
         rows = (
             index.term_stats.where(
                 (F.col("field") == q.field)
                 & F.col("term").startswith(q.prefix)
             )
             .select("term")
+            .orderBy("term")
+            .limit(q.max_terms)
             .collect()
         )
-        terms = sorted(r["term"] for r in rows)[: q.max_terms]
+        terms = [r["term"] for r in rows]
         return SpanMultiTermQuery(boost=q.boost, field=q.field, terms=tuple(terms))
     if isinstance(q, SpanFirstQuery):
         return dataclasses.replace(q, match=_expand_span(index, q.match))
@@ -375,10 +385,11 @@ def _collect_terms(q: Query) -> list[tuple[str, str]]:
     return []
 
 
-def _collect_ranges(q: Query) -> list["ConstantScoreRange"]:
-    """Uncapped range predicates in the tree (pushed into the segments scan
-    instead of term-expanded)."""
-    if isinstance(q, ConstantScoreRange):
+def _collect_ranges(q: Query) -> list[Query]:
+    """Uncapped pushed-predicate nodes in the tree (range bounds and
+    prefix/wildcard matches) — these reach the segments scan as predicates
+    instead of term expansions."""
+    if isinstance(q, (ConstantScoreRange, ConstantScoreMatch)):
         return [q]
     if isinstance(q, BooleanQuery):
         return [r for c in q.clauses for r in _collect_ranges(c.query)]
@@ -450,7 +461,7 @@ class _SegEval:
             return self._eval_multi(q)
         if isinstance(q, ConstantScoreTerms):
             return self._eval_const(q)
-        if isinstance(q, ConstantScoreRange):
+        if isinstance(q, (ConstantScoreRange, ConstantScoreMatch)):
             return self._eval_const_range(q)
         if isinstance(q, CachedFilterDocs):
             return self._eval_cached_filter(q)
@@ -759,7 +770,7 @@ class _SegEvalTFIDF(_SegEval):
                     mask[dec[0]] = True
             score[mask] = 1.0 * b * self.qnorm
             return mask, score
-        if isinstance(q, ConstantScoreRange):
+        if isinstance(q, (ConstantScoreRange, ConstantScoreMatch)):
             mask, _ = _SegEval._eval_const_range(self, q)
             score[mask] = 1.0 * b * self.qnorm
             return mask, score
