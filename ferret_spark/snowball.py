@@ -102,6 +102,12 @@ def _hungarian():
     return stem
 
 
+def _turkish():
+    from ferret_spark.snowball_tr import stem
+
+    return stem
+
+
 _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "english": _english,
     "porter": _porter,  # original Porter (1980), kept as its own algorithm
@@ -118,6 +124,7 @@ _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "romanian": _romanian,
     "finnish": _finnish,
     "hungarian": _hungarian,
+    "turkish": _turkish,
 }
 
 # sb_stemmer_list() of the bundled libstemmer
