@@ -371,29 +371,46 @@ class _Planner:
         slop = q.slop
         repeats = _phrase_has_repeats(q)
 
-        from ferret_spark.oracle import sloppy_phrase_freq
-
-        @F.pandas_udf("double")
-        def phrase_freq(*cols: pd.Series) -> pd.Series:
-            m = len(cols[0])
-            out = np.zeros(m)
-            for r in range(m):
-                adjusted = [
-                    [int(p) - offsets[i] for p in cols[i].iloc[r]]
-                    for i in range(len(offsets))
-                ]
-                if slop == 0:
-                    s = set(adjusted[0])
-                    for a in adjusted[1:]:
-                        s &= set(a)
-                    out[r] = float(len(s))
-                else:
-                    out[r] = sloppy_phrase_freq(adjusted, offsets, slop, repeats)
-            return pd.Series(out)
-
         if len(q.positions) == 1:
             freq = F.size(F.col("p0")).cast("double")
+        elif slop == 0:
+            # exact phrase: distinct offset-adjusted positions common to
+            # every slot. array_intersect is JVM-native and dedups exactly
+            # like the set-intersection semantics of the scorer — the whole
+            # phrase plan stays inside whole-stage codegen (no Python
+            # worker in the hot path).
+            def _shift(col, off):
+                # closure factory: F.transform dispatches on lambda arity,
+                # so the offset must be captured, not a default arg
+                return F.transform(col, lambda x: x - F.lit(off))
+
+            inter = None
+            for i in range(len(q.positions)):
+                adj = _shift(F.col(f"p{i}"), offsets[i])
+                inter = adj if inter is None else F.array_intersect(inter, adj)
+            freq = F.size(inter).cast("double")
         else:
+            # sloppy matching walks position lists with a moving window per
+            # doc (pp_next_unignored analog, c/src/q_phrase.c:1124-1187) —
+            # genuinely sequential per doc, so it stays an Arrow-batched
+            # pandas UDF; batches convert to numpy arrays once per column
+            from ferret_spark.oracle import sloppy_phrase_freq
+
+            @F.pandas_udf("double")
+            def phrase_freq(*cols: pd.Series) -> pd.Series:
+                m = len(cols[0])
+                arrs = [c.to_numpy() for c in cols]
+                out = np.zeros(m)
+                for r in range(m):
+                    adjusted = [
+                        np.asarray(arrs[i][r], dtype=np.int64) - offsets[i]
+                        for i in range(len(offsets))
+                    ]
+                    out[r] = sloppy_phrase_freq(
+                        [a.tolist() for a in adjusted], offsets, slop, repeats
+                    )
+                return pd.Series(out)
+
             freq = phrase_freq(*[F.col(f"p{i}") for i in range(len(q.positions))])
         scored = (
             joined.withColumn("freq", freq)

@@ -78,3 +78,18 @@ def test_multiterm_or_plan_has_no_python_udf(saved_idx):
         assert marker not in plan, f"{marker} found in OR plan:\n{plan}"
     # and it still returns scored hits
     assert len(df.collect()) > 0
+
+
+def test_exact_phrase_plan_has_no_python_udf(saved_idx):
+    """Slop-0 phrase freq is a JVM array_intersect chain over
+    offset-adjusted position arrays (same dedup semantics as the scorer's
+    set intersection) — the per-row pandas loop is reserved for sloppy
+    matching only."""
+    from ferret_spark.query import PhraseQuery
+
+    q = PhraseQuery.of("content", ["word1", "word2"])
+    df = saved_idx.search(q, k=10)
+    plan = _executed_plan(df)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{marker} found in exact-phrase plan:\n{plan}"
+    assert len(df.collect()) > 0
