@@ -101,7 +101,7 @@ class FerretIndex:
                 }
             ]
             self._write_meta(meta)
-            self._idx = SegmentIndex.load(self.spark, self.path)
+            self._reload_idx()
             return self
 
         meta = self._meta()
@@ -187,7 +187,7 @@ class FerretIndex:
             f"add_batch_{int(time.time())}",
             {"rows": n_new, "bytes": -1},
         )
-        self._idx = SegmentIndex.load(self.spark, self.path)
+        self._reload_idx()
         return self
 
     def add_index(self, other: "FerretIndex"):
@@ -270,7 +270,7 @@ class FerretIndex:
             f"add_index_{int(time.time())}",
             {"rows": o.stats["n_docs"], "bytes": -1},
         )
-        self._idx = SegmentIndex.load(self.spark, self.path)
+        self._reload_idx()
         return self
 
     def _new_gname(self) -> str:
@@ -608,8 +608,25 @@ class FerretIndex:
             self.spark, self.path, f"optimize_{int(time.time())}",
             {"rows": n_del, "bytes": -1},
         )
-        self._idx = SegmentIndex.load(self.spark, self.path)
+        self._reload_idx()
         return self
+
+
+    def _reload_idx(self):
+        """Swap in a fresh SegmentIndex after a mutation, releasing the
+        old snapshot's persisted packed-deletes DataFrame first (otherwise
+        every mutation orphans one cached frame in the Spark storage layer
+        until the context cleaner gets to it)."""
+        old = self._idx
+        if old is not None:
+            cached = getattr(old, "_packed_del_cache", None)
+            if cached is not None:
+                try:
+                    cached[1].unpersist()
+                except Exception:
+                    pass
+                old._packed_del_cache = None
+        self._idx = SegmentIndex.load(self.spark, self.path)
 
     # ---------------------------------------------------------------- meta
     def _meta(self) -> dict:
@@ -630,21 +647,35 @@ class FerretIndex:
         # would silently drop its generations/deletes — fail loudly
         # instead (check-and-fail CAS; see SCALE.md "Writer concurrency").
         mpath = os.path.join(self.path, "meta.json")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                disk_ver = json.load(f).get("version", 0)
-            if disk_ver != meta.get("version", 0):
-                raise ConcurrentWriterError(
-                    f"meta.json version moved {meta.get('version', 0)} -> "
-                    f"{disk_ver} during this operation: another writer "
-                    "committed concurrently. FerretIndex requires a single "
-                    "writer; serialize index mutations externally."
-                )
-        meta["version"] = meta.get("version", 0) + 1
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, mpath)  # atomic: no torn meta.json on crash
+        # the read-check-replace below runs under an exclusive flock so two
+        # racing writers cannot both pass the version check in the window
+        # between json.load and os.replace (the reference's commit lock
+        # file, c/src/index.c:832-1006 frt_iw_commit) — the loser of the
+        # race observes the winner's bumped version and raises
+        import fcntl
+
+        lock_path = os.path.join(self.path, "write.lock")
+        with open(lock_path, "w") as lock_f:
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(mpath):
+                    with open(mpath) as f:
+                        disk_ver = json.load(f).get("version", 0)
+                    if disk_ver != meta.get("version", 0):
+                        raise ConcurrentWriterError(
+                            f"meta.json version moved "
+                            f"{meta.get('version', 0)} -> {disk_ver} during "
+                            "this operation: another writer committed "
+                            "concurrently. FerretIndex requires a single "
+                            "writer; serialize index mutations externally."
+                        )
+                meta["version"] = meta.get("version", 0) + 1
+                tmp = mpath + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(meta, f)
+                os.replace(tmp, mpath)  # atomic: no torn meta.json on crash
+            finally:
+                fcntl.flock(lock_f, fcntl.LOCK_UN)
         fc = os.path.join(self.path, "filter_cache")
         if os.path.isdir(fc):
             import shutil

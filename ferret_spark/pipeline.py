@@ -567,12 +567,15 @@ def dedup_clusters(
     (the canonicalization step after pair generation in a dedup pipeline —
     keep one representative per cluster, drop the rest).
 
-    Distributed min-label propagation: each round is one join + groupBy
-    (label[x] <- min(label[x], min label of x's neighbors)), converging in
-    <= diameter rounds — the standard large-graph CC shape (no driver-side
-    union-find; edges and labels stay DataFrames throughout). Rounds are
-    data-dependent but bounded; the convergence check is a count() per
-    round, and near-dup components have tiny diameters in practice."""
+    Distributed min-label propagation with pointer doubling: each round is
+    (1) label[x] <- min(label[x], min label of x's neighbors), then
+    (2) label[x] <- min(label[x], label[label[x]]) — the shortcutting step
+    of large-star/small-star CC, so a chain of diameter D converges in
+    O(log D) rounds instead of D (edges and labels stay DataFrames; no
+    driver-side union-find). Each round is localCheckpoint'ed to truncate
+    lineage (an unbounded iterative plan otherwise re-derives every prior
+    round at every action). Non-convergence within max_iters RAISES —
+    partial labels are silently-wrong output for a dedup pipeline."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
     fwd = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -584,8 +587,9 @@ def dedup_clusters(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -595,15 +599,25 @@ def dedup_clusters(
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")
         )
+        stepped = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                "label"
+            ),
+        )
+        # pointer doubling: follow the label one hop through the label map
+        lmap = stepped.select(
+            F.col("doc_id").alias("_lkey"), F.col("label").alias("_lval")
+        )
         new_labels = (
-            labels.join(nbr, "doc_id", "left")
+            stepped.join(lmap, stepped["label"] == lmap["_lkey"], "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_min", "label")
+                    F.col("label"), F.coalesce("_lval", "label")
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -612,11 +626,15 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iters} rounds; "
+            "raise max_iters (components deeper than 2^max_iters hops)"
+        )
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
@@ -646,9 +664,13 @@ def keywords_tfidf(
         .select(
             "doc_id",
             "term",
-            (
+            # 9-dp rounding BEFORE the window ordering so near-tie scores
+            # collapse to the term-asc tiebreak identically in both engines
+            # (the SQL twin rounds the same way)
+            F.round(
                 F.col("tf").cast("double")
-                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                9,
             ).alias("s"),
         )
         .withColumn(

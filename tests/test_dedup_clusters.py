@@ -87,3 +87,31 @@ def test_keywords_tfidf_rare_term_wins(spark, tmp_path):
         for r in P.keywords_tfidf(spark, path, k=1).collect()
     }
     assert out[0] == "zebra"
+
+
+def test_long_chain_converges_via_pointer_doubling(spark, monkeypatch):
+    """A 60-hop pair chain (diameter far above the old 20-round budget)
+    must converge — pointer doubling closes diameter D in O(log D) rounds —
+    and every node must get the component-min label."""
+    import ferret_spark.pipeline as P
+
+    pairs = [(i, i + 1) for i in range(60)]
+    pairs_df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    monkeypatch.setattr(P, "dedup_minhash_lsh", lambda s, d, **kw: pairs_df)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in P.dedup_clusters(spark, "unused").collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_non_convergence_raises_not_silent(spark, monkeypatch):
+    """With the round budget forced below what the topology needs, the
+    function must raise — never return partial, inconsistent labels."""
+    import ferret_spark.pipeline as P
+
+    pairs = [(i, i + 1) for i in range(200)]
+    pairs_df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    monkeypatch.setattr(P, "dedup_minhash_lsh", lambda s, d, **kw: pairs_df)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        P.dedup_clusters(spark, "unused", max_iters=2)

@@ -104,3 +104,34 @@ def test_mutation_invalidates_cache(spark, tmp_path):
     got2 = {r["doc_id"] for r in idx.search(q, k=None).collect()}
     base = idx.index.id_ranges[1][0]
     assert got2 == set(range(2, 7)) | {base + i for i in range(4) if 2 <= i + 3 <= 6}
+
+
+def test_filter_cache_gc_after_optimize(spark, tmp_path):
+    """optimize() bumps the generation and must leave only the live
+    generation's filter_cache dir behind (stale v{g} dirs would otherwise
+    accumulate unboundedly over a long-lived mutating index)."""
+    from ferret_spark.ind import FerretIndex
+    from ferret_spark.query import RangeQuery
+
+    rows = [{"doc_id": i, "content": "tok", "num": str(i)} for i in range(12)]
+    idx = FerretIndex(
+        spark, str(tmp_path / "gc_opt"),
+        {"content": "whitespace", "num": "keyword"}, seg_size=8,
+    )
+    idx.add_documents(spark.createDataFrame(rows), doc_id_col="doc_id")
+    q = RangeQuery(field="num", lower=3, upper=8, typed=True)
+    assert {r["doc_id"] for r in idx.search(q, k=None).collect()} == set(
+        range(3, 9)
+    )
+    fc = os.path.join(idx.path, "filter_cache")
+    assert os.path.isdir(fc) and os.listdir(fc)
+    stale = set(os.listdir(fc))
+    idx.optimize()
+    cur = f"v{idx.index.generation}"
+    left = set(os.listdir(fc)) if os.path.isdir(fc) else set()
+    assert left <= {cur}
+    assert not (stale & left)
+    # cache repopulates under the new generation and stays correct
+    assert {r["doc_id"] for r in idx.search(q, k=None).collect()} == set(
+        range(3, 9)
+    )
