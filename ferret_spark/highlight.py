@@ -1,13 +1,18 @@
 """Highlighting + Explain — post-top-k, driver-side (never perf-critical:
 runs over <= k fetched documents).
 
-Reference: searcher_highlight c/src/search.c:836-965 (match vectors per
-query type :624-655, excerpt selection by sliding window, tag insertion),
-Explain trees c/src/search.c:13-79 / tw_explain c/src/q_term.c:155-229.
+Reference: searcher_highlight c/src/search.c:836-965 — per-query match
+vectors (tq/multi_tq/bq/phq_get_matchv_i, q_term.c / q_multi_term.c:603 /
+q_boolean.c:1326 / q_phrase.c:834-950, rq_get_matchv_i q_range.c:465),
+matchv_compact_with_breaks + matchv_set_offsets (search.c:577-610), the
+sliding-window excerpt priority queue with zero-and-recalc re-ranking,
+start-anchored padding excerpts, the adjacent-excerpt merge pass,
+excerpt_expand (search.c:697-730) and excerpt_get_str tag/ellipsis
+placement (search.c:732-786). The priority queue is a transcription of
+the 1-indexed frt heap (priorityqueue.c pq_up/pq_down/pq_push/pq_pop) so
+tie-breaking matches the reference exactly.
 
-Divergence note: excerpt boundary/ellipsis placement is simplified (window
-chosen to maximize matched positions, trimmed to token boundaries); tag
-semantics (every matched token wrapped) follow the reference.
+Explain trees: c/src/search.c:13-79 / tw_explain c/src/q_term.c:155-229.
 """
 
 from __future__ import annotations
@@ -83,6 +88,345 @@ def _collect_matches(q: Query, by_term, out: set[int]):
                 out.update(spans)
 
 
+# ---------------------------------------------------------------------------
+# MatchVector (scored position ranges) — get_matchv_i per query type
+
+
+class _MatchRange:
+    __slots__ = ("start", "end", "score", "start_offset", "end_offset")
+
+    def __init__(self, start: int, end: int, score: float = 1.0):
+        self.start = start
+        self.end = end
+        self.score = score
+        self.start_offset = 0
+        self.end_offset = 0
+
+
+def _mv_term_positions(mv, positions):
+    for pos in positions:
+        mv.append(_MatchRange(pos, pos))
+
+
+def _term_pred_positions(by_term, pred):
+    out = []
+    for term, positions in by_term.items():
+        if pred(term):
+            out.extend(positions)
+    return out
+
+
+def _get_matchv(q: Query, field: str, by_term, mv: list) -> None:
+    """Append this query's match ranges for one document's token stream
+    (get_matchv_i dispatch). Multi-term queries (range/prefix/wildcard/
+    fuzzy and their constant-score rewrites) match per-token against the
+    bound/pattern — the reader-side rewrite intersected with the doc's
+    term vector nets out to exactly this predicate (rq_get_matchv_i,
+    c/src/q_range.c:465-496)."""
+    from ferret_spark.query import (
+        FilteredQuery,
+        FuzzyQuery,
+        PrefixQuery,
+        WildcardQuery,
+        fuzzy_score,
+        glob_to_regex,
+    )
+
+    if isinstance(q, TermQuery):
+        if q.field == field:
+            _mv_term_positions(mv, by_term.get(q.term, ()))
+    elif isinstance(q, MultiTermQuery):
+        if q.field == field:
+            for t, _b in q.terms:
+                _mv_term_positions(mv, by_term.get(t, ()))
+    elif isinstance(q, BooleanQuery):
+        for c in q.clauses:
+            if c.occur != MUST_NOT:
+                _get_matchv(c.query, field, by_term, mv)
+    elif isinstance(q, PhraseQuery):
+        if q.field == field:
+            _phrase_matchv(q, by_term, mv)
+    elif isinstance(q, RangeQuery):
+        if q.field == field:
+            from ferret_spark.wand import ConstantScoreRange
+
+            rng = ConstantScoreRange(
+                field=q.field, lower=q.lower, upper=q.upper,
+                include_lower=q.include_lower,
+                include_upper=q.include_upper, typed=q.typed,
+            )
+            _mv_term_positions(
+                mv, sorted(_term_pred_positions(by_term, rng.matches))
+            )
+    elif isinstance(q, PrefixQuery):
+        if q.field == field:
+            _mv_term_positions(
+                mv,
+                sorted(
+                    _term_pred_positions(
+                        by_term, lambda t: t.startswith(q.prefix)
+                    )
+                ),
+            )
+    elif isinstance(q, WildcardQuery):
+        if q.field == field:
+            import re
+
+            rx = re.compile(glob_to_regex(q.pattern))
+            _mv_term_positions(
+                mv,
+                sorted(
+                    _term_pred_positions(by_term, lambda t: bool(rx.match(t)))
+                ),
+            )
+    elif isinstance(q, FuzzyQuery):
+        if q.field == field:
+            pre = q.term[: q.prefix_len]
+            _mv_term_positions(
+                mv,
+                sorted(
+                    _term_pred_positions(
+                        by_term,
+                        lambda t: t.startswith(pre)
+                        and fuzzy_score(q.term, t, q.prefix_len) > q.min_sim,
+                    )
+                ),
+            )
+    elif isinstance(q, FilteredQuery):
+        _get_matchv(q.query, field, by_term, mv)
+    else:
+        # predicate-bearing rewrite nodes (ConstantScoreTerms/Range/Match)
+        terms = getattr(q, "terms", None)
+        if terms is not None and getattr(q, "field", None) == field:
+            for t in terms:
+                _mv_term_positions(mv, by_term.get(t, ()))
+        elif hasattr(q, "matches") and getattr(q, "field", None) == field:
+            _mv_term_positions(
+                mv, sorted(_term_pred_positions(by_term, q.matches))
+            )
+
+
+def _phrase_matchv(q: PhraseQuery, by_term, mv: list) -> None:
+    """phq_get_matchv_i (c/src/q_phrase.c:834-950): exact phrases add one
+    range per full alignment; sloppy phrases walk the slot position enums
+    with a min-heap exactly like the reference."""
+    slots = []  # (offset, sorted adjusted positions)
+    for off, alts in sorted(q.positions, key=lambda x: x[0]):
+        ps: set[int] = set()
+        for t in alts:
+            ps.update(by_term.get(t, ()))
+        if not ps:
+            return
+        slots.append((off, sorted(p - off for p in ps)))
+    if len(slots) == 1:
+        off, ps = slots[0]
+        for p in ps:
+            mv.append(_MatchRange(p + off, p + off))
+        return
+    if q.slop == 0:
+        common = set(slots[0][1])
+        for _, ps in slots[1:]:
+            common &= set(ps)
+        lo_off = slots[0][0]
+        hi_off = slots[-1][0]
+        for p in sorted(common):
+            mv.append(_MatchRange(p + lo_off, p + hi_off))
+        return
+    # sloppy: transcription of the TVPosEnum priority-queue walk
+    class _Enum:
+        __slots__ = ("positions", "offset", "index", "pos")
+
+        def __init__(self, positions, offset):
+            self.positions = positions
+            self.offset = offset
+            self.index = 0
+            self.pos = positions[0]
+
+        def next(self):
+            self.index += 1
+            if self.index < len(self.positions):
+                self.pos = self.positions[self.index]
+                return True
+            self.pos = -1
+            return False
+
+    pq = _FrtPQ(lambda a, b: a.pos < b.pos)
+    last_pos = 0
+    for off, ps in slots:
+        en = _Enum(ps, off)
+        if en.pos > last_pos:
+            last_pos = en.pos
+        pq.push(en)
+    done = False
+    while not done:
+        en = pq.pop()
+        pos = start = en.pos
+        next_pos = pq.top().pos
+        while pos <= next_pos:
+            start = pos
+            if not en.next():
+                done = True
+                break
+            pos = en.pos
+        if last_pos - start <= q.slop:
+            vals = [start + en.offset] + [
+                t.pos + t.offset for t in pq.heap[1 : pq.size + 1]
+            ]
+            mv.append(_MatchRange(min(vals), max(vals)))
+        if en.pos > last_pos:
+            last_pos = en.pos
+        pq.push(en)
+
+
+def _matchv_compact_with_breaks(mv: list) -> list:
+    """Sort by (start asc, end desc); merge OVERLAPPING ranges only (no
+    end+1 adjacency), summing scores (search.c:577-600)."""
+    mv = sorted(mv, key=lambda m: (m.start, -m.end))
+    out: list[_MatchRange] = []
+    for r in mv:
+        if not out or r.start > out[-1].end:
+            out.append(_MatchRange(r.start, r.end, r.score))
+        elif r.end > out[-1].end:
+            out[-1].end = r.end
+            out[-1].score += r.score
+        else:
+            out[-1].score += r.score
+    return out
+
+
+# ---------------------------------------------------------------------------
+# frt PriorityQueue transcription (1-indexed heap; lt = higher priority)
+
+
+class _FrtPQ:
+    def __init__(self, lt):
+        self.heap: list = [None, None]
+        self.size = 0
+        self.lt = lt
+
+    def push(self, elem):
+        self.size += 1
+        if self.size >= len(self.heap):
+            self.heap.extend([None] * len(self.heap))
+        self.heap[self.size] = elem
+        # pq_up
+        heap, i = self.heap, self.size
+        j = i >> 1
+        node = heap[i]
+        while j > 0 and self.lt(node, heap[j]):
+            heap[i] = heap[j]
+            i = j
+            j >>= 1
+        heap[i] = node
+
+    def top(self):
+        return self.heap[1] if self.size > 0 else None
+
+    def pop(self):
+        if self.size <= 0:
+            return None
+        result = self.heap[1]
+        self.heap[1] = self.heap[self.size]
+        self.heap[self.size] = None
+        self.size -= 1
+        self.down()
+        return result
+
+    def down(self):
+        i, j, k = 1, 2, 3
+        size, heap = self.size, self.heap
+        if size == 0:
+            return
+        node = heap[i]
+        if k <= size and self.lt(heap[k], heap[j]):
+            j = k
+        while j <= size and self.lt(heap[j], node):
+            heap[i] = heap[j]
+            i = j
+            j = i << 1
+            k = j + 1
+            if k <= size and self.lt(heap[k], heap[j]):
+                j = k
+        heap[i] = node
+
+
+# ---------------------------------------------------------------------------
+# excerpt selection (searcher_highlight)
+
+
+class _Excerpt:
+    __slots__ = ("start", "end", "start_pos", "end_pos",
+                 "start_offset", "end_offset", "score")
+
+    def __init__(self, start=0, end=-1, score=0.0):
+        self.start = start
+        self.end = end
+        self.start_pos = 0
+        self.end_pos = 0
+        self.start_offset = 0
+        self.end_offset = 0
+        self.score = score
+
+
+def _excerpt_expand(e: _Excerpt, length: int, offsets) -> None:
+    """Grow the excerpt to its largest size under ``length`` chars,
+    alternating left/right (excerpt_expand, search.c:697-730)."""
+    offset_cnt = len(offsets)
+    did = True
+    while did:
+        did = False
+        if (
+            e.start_pos > 0
+            and (e.end_offset - offsets[e.start_pos - 1][0]) < length
+        ):
+            e.start_pos -= 1
+            e.start_offset = offsets[e.start_pos][0]
+            did = True
+        if (
+            e.end_pos < offset_cnt - 1
+            and (offsets[e.end_pos + 1][1] - e.start_offset) < length
+        ):
+            e.end_pos += 1
+            e.end_offset = offsets[e.end_pos][1]
+            did = True
+
+
+def _excerpt_get_str(e, matches, text, pre_tag, post_tag, ellipsis):
+    parts = []
+    last = e.start_offset
+    if e.start_offset > 0:
+        parts.append(ellipsis)
+    for i in range(e.start, e.end + 1):
+        mr = matches[i]
+        parts.append(text[last:mr.start_offset])
+        parts.append(pre_tag)
+        parts.append(text[mr.start_offset:mr.end_offset])
+        parts.append(post_tag)
+        last = mr.end_offset
+    if (len(text) - e.end_offset) <= len(ellipsis):
+        # no point using ellipsis if it takes up more space
+        e.end_offset = len(text)
+    parts.append(text[last:e.end_offset])
+    if e.end_offset < len(text):
+        parts.append(ellipsis)
+    return "".join(parts)
+
+
+def _highlight_whole_field(matches, text, pre_tag, post_tag):
+    if not matches:
+        return text
+    parts = []
+    last = 0
+    for mr in matches:
+        parts.append(text[last:mr.start_offset])
+        parts.append(pre_tag)
+        parts.append(text[mr.start_offset:mr.end_offset])
+        parts.append(post_tag)
+        last = mr.end_offset
+    parts.append(text[last:])
+    return "".join(parts)
+
+
 def highlight(
     index_or_analyzer,
     q: Query,
@@ -94,7 +438,10 @@ def highlight(
     post_tag: str = "</b>",
     ellipsis: str = "...",
 ) -> list[str]:
-    """Excerpts of ``text`` with query matches wrapped in tags."""
+    """Excerpts of ``text`` with query matches wrapped in tags — a faithful
+    port of searcher_highlight (c/src/search.c:836-965): sliding-window
+    excerpt PQ, zero-and-recalc selection, start-anchored padding, merge
+    pass, expansion to token boundaries, ellipsis placement."""
     if hasattr(index_or_analyzer, "analyze_offsets"):
         # already an Analyzer instance
         analyzer = index_or_analyzer
@@ -111,50 +458,103 @@ def highlight(
     tokens = analyzer.analyze_offsets(text)
     if not tokens:
         return []
-    matched = match_positions(q, tokens)
-    # choose windows of tokens whose char span <= excerpt_length maximizing
-    # matched count (sliding-window PQ analog)
-    spans = []  # (n_matches, tok_start_idx, tok_end_idx)
-    n = len(tokens)
-    j = 0
-    for i in range(n):
-        j = max(j, i)
+    by_term: dict[str, list[int]] = {}
+    max_pos = 0
+    for t, pos, _s, _e in tokens:
+        by_term.setdefault(t, []).append(pos)
+        if pos > max_pos:
+            max_pos = pos
+    # offsets indexed by POSITION; skipped positions (stop-filter gaps)
+    # zero-filled then patched from the previous entry, as excerpt_expand
+    # does on tv->offsets
+    offsets = [[0, 0] for _ in range(max_pos + 1)]
+    for _t, pos, s, e in tokens:
+        offsets[pos] = [s, e]
+    for i in range(1, len(offsets)):
+        if offsets[i][0] == 0:
+            offsets[i][0] = offsets[i - 1][0]
+        if offsets[i][1] == 0:
+            offsets[i][1] = offsets[i - 1][1]
+
+    raw_mv: list[_MatchRange] = []
+    _get_matchv(q, field, by_term, raw_mv)
+    matches = _matchv_compact_with_breaks(raw_mv)
+    for mr in matches:
+        mr.start_offset = offsets[mr.start][0]
+        mr.end_offset = offsets[mr.end][1]
+
+    if len(text) < excerpt_length * num_excerpts:
+        return [_highlight_whole_field(matches, text, pre_tag, post_tag)]
+    if not matches:
+        return []
+
+    # every possible excerpt window into the PQ
+    pq = _FrtPQ(lambda a, b: a.score > b.score)
+    running = 0.0
+    e_end = 0
+    size = len(matches)
+    for e_start in range(size):
+        start_offset = matches[e_start].start_offset
+        if e_start > e_end:
+            running = 0.0
+            e_end = e_start
         while (
-            j + 1 < n and tokens[j + 1][3] - tokens[i][2] <= excerpt_length
+            e_end < size
+            and matches[e_end].end_offset <= start_offset + excerpt_length
         ):
-            j += 1
-        n_match = sum(
-            1 for k in range(i, j + 1) if tokens[k][1] in matched
+            running += matches[e_end].score
+            e_end += 1
+        pq.push(_Excerpt(e_start, e_end - 1, running))
+        running -= matches[e_start].score
+
+    selected: list[_Excerpt] = []
+    i = 0
+    while i < num_excerpts and pq.size > 0:
+        e = pq.pop()
+        selected.append(e)
+        if i < num_excerpts - 1:
+            # zero already-included ranges, then lazily re-rank the top
+            for j in range(e.start, e.end + 1):
+                matches[j].score = 0.0
+            e2 = None
+            while e2 is not pq.top():
+                e2 = pq.top()
+                e2.score = sum(
+                    matches[j].score for j in range(e2.start, e2.end + 1)
+                )
+                pq.down()
+        i += 1
+
+    selected.sort(key=lambda ex: ex.start)
+    for e in selected:
+        e.start_pos = matches[e.start].start
+        e.end_pos = matches[e.end].end
+        e.start_offset = offsets[e.start_pos][0]
+        e.end_offset = offsets[e.end_pos][1]
+
+    if i < num_excerpts:
+        # pad at the FRONT with empty excerpts that grow into one long
+        # excerpt at the start of the field
+        selected = [_Excerpt() for _ in range(num_excerpts - i)] + selected
+
+    out: list[str] = []
+    idx = 0
+    while idx < num_excerpts:
+        ei = selected[idx]
+        merged = 1
+        for j in range(idx + 1, num_excerpts):
+            ej = selected[j]
+            if (ej.end_offset - ei.start_offset) < (j - idx + 1) * excerpt_length:
+                ei.end = ej.end
+                ei.end_pos = ej.end_pos
+                ei.end_offset = ej.end_offset
+                merged = j - idx + 1
+        _excerpt_expand(ei, merged * excerpt_length, offsets)
+        out.append(
+            _excerpt_get_str(ei, matches, text, pre_tag, post_tag, ellipsis)
         )
-        spans.append((n_match, i, j))
-    spans.sort(key=lambda t: (-t[0], t[1]))
-    excerpts = []
-    used: list[tuple[int, int]] = []
-    for n_match, i, j in spans:
-        if len(excerpts) >= num_excerpts:
-            break
-        if n_match == 0 and excerpts:
-            break
-        if any(not (j < a or i > b) for a, b in used):
-            continue
-        used.append((i, j))
-        start_c, end_c = tokens[i][2], tokens[j][3]
-        parts = []
-        if start_c > 0:
-            parts.append(ellipsis)
-        cur = start_c
-        for k in range(i, j + 1):
-            t, pos, s, e = tokens[k]
-            parts.append(text[cur:s])
-            if pos in matched:
-                parts.append(pre_tag + text[s:e] + post_tag)
-            else:
-                parts.append(text[s:e])
-            cur = e
-        if end_c < len(text):
-            parts.append(ellipsis)
-        excerpts.append("".join(parts))
-    return excerpts
+        idx += merged
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,9 @@ TEXT = (
 
 def test_term_highlight_excerpt():
     q = TermQuery(field="field", term="one")
-    ex = highlight("whitespace", q, TEXT, excerpt_length=10, num_excerpts=1)
+    ex = highlight(
+        "whitespace", q, TEXT, field="field", excerpt_length=10, num_excerpts=1
+    )
     assert len(ex) == 1
     assert "<b>one</b>" in ex[0]
     assert ex[0].startswith("...") and ex[0].endswith("...")
@@ -31,16 +33,22 @@ def test_term_highlight_excerpt():
 
 def test_term_highlight_all_occurrences():
     q = TermQuery(field="field", term="one")
-    ex = highlight("whitespace", q, TEXT, excerpt_length=len(TEXT) + 10)
+    ex = highlight(
+        "whitespace", q, TEXT, field="field", excerpt_length=len(TEXT) + 10
+    )
     assert ex[0].count("<b>one</b>") == 2
 
 
 def test_phrase_highlight_tags_both_words():
     q = PhraseQuery.of("field", ["one", "two"])
-    ex = highlight("whitespace", q, TEXT, excerpt_length=len(TEXT) + 10)
-    # only the adjacent "one two" occurrence matches, not the lone "one"
-    assert "<b>one</b> <b>two</b>" in ex[0]
-    assert ex[0].count("<b>") == 2
+    ex = highlight(
+        "whitespace", q, TEXT, field="field", excerpt_length=len(TEXT) + 10
+    )
+    # only the adjacent "one two" occurrence matches, not the lone "one";
+    # a phrase match is ONE range covering the whole phrase (reference
+    # phq_get_matchv_i semantics)
+    assert "<b>one two</b>" in ex[0]
+    assert ex[0].count("<b>") == 1
 
 
 def test_match_positions_phrase_exact_vs_sloppy():
@@ -56,7 +64,7 @@ def test_match_positions_phrase_exact_vs_sloppy():
 def test_multi_excerpts():
     q = TermQuery(field="field", term="one")
     ex = highlight(
-        "whitespace", q, TEXT, excerpt_length=15, num_excerpts=2
+        "whitespace", q, TEXT, field="field", excerpt_length=15, num_excerpts=2
     )
     assert len(ex) == 2
     assert all("<b>one</b>" in e for e in ex)
@@ -106,7 +114,10 @@ def test_stemmed_analyzer_highlights():
     # analyze_offsets must apply the stem filter so stemmed query terms
     # (e.g. 'search' from 'searching') still highlight
     q = TermQuery(field="field", term="search")
-    ex = highlight(get_analyzer("stem_en"), q, TEXT, excerpt_length=len(TEXT) + 10)
+    ex = highlight(
+        get_analyzer("stem_en"), q, TEXT, field="field",
+        excerpt_length=len(TEXT) + 10,
+    )
     assert ex and "<b>searching</b>" in ex[0]
 
 
@@ -115,5 +126,5 @@ def test_mapped_analyzer_highlights():
 
     a = Analyzer("whitespace", lowercase=True, mappings={"å": "a"})
     q = TermQuery(field="field", term="aha")
-    ex = highlight(a, q, "big åhå moment", excerpt_length=40)
+    ex = highlight(a, q, "big åhå moment", field="field", excerpt_length=40)
     assert ex and "<b>åhå</b>" in ex[0]
