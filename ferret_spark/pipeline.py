@@ -730,6 +730,25 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pil_image_module():
+    """PIL.Image when importable, else None — resolved once per process
+    (so executors with Pillow installed get real JPEG/PNG/WebP decode and
+    codec-less deployments keep the declared pure-numpy path)."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is _PIL_UNRESOLVED:
+        try:
+            from PIL import Image as _img  # noqa: N813
+
+            _PIL_IMAGE = _img
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+_PIL_UNRESOLVED = object()
+_PIL_IMAGE = _PIL_UNRESOLVED
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an (H, W, 3) uint8 array.
 
@@ -737,12 +756,19 @@ def decode_image(payload: bytes) -> "np.ndarray":
       - PPM P6 (binary, maxval<=255) and P3 (ASCII)
       - PGM P5 (grayscale, broadcast to 3 channels)
       - BMP: uncompressed 24-bit BI_RGB (bottom-up or top-down rows)
-    Compressed codecs (JPEG/PNG/WebP) genuinely need external libraries
-    (PIL/libvips, absent here) and raise NotImplementedError."""
+    Compressed codecs (JPEG/PNG/WebP) decode through Pillow WHEN it is
+    importable (feature-flagged, not required); without it they raise
+    NotImplementedError — a declared stand-in, not a silent fake."""
     if payload[:2] in (b"P6", b"P3", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    pil = _pil_image_module()
+    if pil is not None:
+        import io
+
+        with pil.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
     raise NotImplementedError(
         "only PPM/PGM/BMP are decodable without PIL/libvips"
     )

@@ -127,3 +127,26 @@ def test_media_resize_real_pixels_through_spark(spark):
     # the codec-bound payload keeps the declared stand-in path
     assert out[1]["media_type"] == "image/jpeg"
     assert len(bytes(out[1]["media"])) > 0
+
+
+def test_pil_feature_flag():
+    """With Pillow importable, compressed codecs decode for real; without
+    it, the NotImplementedError stand-in stays declared. This test follows
+    whichever environment it runs in."""
+    import io
+
+    import pytest
+
+    from ferret_spark.pipeline import _pil_image_module, decode_image
+
+    pil = _pil_image_module()
+    if pil is None:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    else:
+        arr = (np.arange(48) % 251).reshape(4, 4, 3).astype(np.uint8)
+        buf = io.BytesIO()
+        pil.fromarray(arr).save(buf, format="PNG")
+        out = decode_image(buf.getvalue())
+        assert out.shape == (4, 4, 3)
+        assert (out == arr).all()
