@@ -184,12 +184,22 @@ def synth_rows(
 CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
 
-def synth_corpus_df(spark, n_rows: int, num_partitions: int = 32, **kw):
+def synth_corpus_df(
+    spark,
+    n_rows: int,
+    num_partitions: int = 32,
+    start: int = 0,
+    with_id: bool = False,
+    **kw,
+):
     """Distributed deterministic corpus as a Spark DataFrame.
 
     Generation happens executor-side via mapInArrow over an id range —
-    no driver materialization, scales linearly with partitions.
+    no driver materialization, scales linearly with partitions. ``start``
+    offsets the global row range (batched largefile builds generate
+    DISTINCT slices); ``with_id`` adds the global row id as ``doc_id``.
     """
+    import numpy as np
     import pyarrow as pa
 
     def gen(batches):
@@ -197,11 +207,15 @@ def synth_corpus_df(spark, n_rows: int, num_partitions: int = 32, **kw):
             ids = batch.column("id").to_numpy()
             if len(ids) == 0:
                 continue
-            pdf = synth_rows(int(ids.min()), int(ids.max()) + 1, **kw)
+            lo, hi = int(ids.min()), int(ids.max()) + 1
+            pdf = synth_rows(lo, hi, **kw)
+            if with_id:
+                pdf.insert(0, "doc_id", np.arange(lo, hi, dtype="int64"))
             yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
 
-    rng_df = spark.range(0, n_rows, 1, num_partitions)
-    return rng_df.mapInArrow(gen, CORPUS_SCHEMA)
+    schema = ("doc_id long, " + CORPUS_SCHEMA) if with_id else CORPUS_SCHEMA
+    rng_df = spark.range(start, start + n_rows, 1, num_partitions)
+    return rng_df.mapInArrow(gen, schema)
 
 
 def synth_corpus_pdf(n_rows: int, **kw) -> pd.DataFrame:
