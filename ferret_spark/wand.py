@@ -161,7 +161,7 @@ def _filter_docs_df(index, node) -> DataFrame:
     def dec(batches):
         for pdf in batches:
             outs = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 ids, _tfs, _pos, _dls = decode_posting_list(
                     _row_to_codec(r), with_positions=False
                 )
@@ -1482,7 +1482,9 @@ def segment_search(
         dfs_local = dict(dfs)
         rows_by_ft = {}
         filt_local: dict[str, np.ndarray] = {}
-        for _, r in pdf.iterrows():
+        # records, not iterrows: no per-row Series construction (rows here
+        # = query terms x segments, small but on every search's hot path)
+        for r in pdf.to_dict("records"):
             fld = r["field"]
             if fld == "__stub__":
                 continue
