@@ -194,6 +194,8 @@ def _get_matchv(q: Query, field: str, by_term, mv: list) -> None:
             )
     elif isinstance(q, FilteredQuery):
         _get_matchv(q.query, field, by_term, mv)
+    elif _is_span_query(q):
+        _span_matchv(q, field, by_term, mv)
     else:
         # predicate-bearing rewrite nodes (ConstantScoreTerms/Range/Match)
         terms = getattr(q, "terms", None)
@@ -204,6 +206,58 @@ def _get_matchv(q: Query, field: str, by_term, mv: list) -> None:
             _mv_term_positions(
                 mv, sorted(_term_pred_positions(by_term, q.matches))
             )
+
+
+def _is_span_query(q) -> bool:
+    try:
+        from ferret_spark.spans import is_span
+
+        return is_span(q)
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def _matchv_compact_plain(mv: list) -> list:
+    """matchv_compact (search.c:554-575): sort and merge ADJACENT ranges
+    too (the end+1 rule) — used on full span ranges before the per-term
+    conversion."""
+    mv = sorted(mv, key=lambda m: (m.start, -m.end))
+    out: list[_MatchRange] = []
+    for r in mv:
+        if not out or r.start > out[-1].end + 1:
+            out.append(_MatchRange(r.start, r.end, r.score))
+        elif r.end > out[-1].end:
+            out[-1].end = r.end
+        else:
+            out[-1].score += r.score
+    return out
+
+
+def _span_matchv(q, field: str, by_term, mv: list) -> None:
+    """spanq_get_matchv_i (c/src/q_span.c:151-183): enumerate the query's
+    spans over this doc, compact them, then emit a single-position match
+    for each occurrence of each scoring term that falls inside a span
+    (mv_to_term_mv, q_span.c:37-61)."""
+    from ferret_spark.spans import doc_spans, scoring_terms, span_field
+
+    if span_field(q) != field:
+        return
+    term_dict = sorted(by_term)
+    spans = doc_spans(q, lambda t: by_term.get(t, []), term_dict)
+    if not spans:
+        return
+    full = _matchv_compact_plain(
+        [_MatchRange(s, e - 1) for s, e in spans]
+    )
+    for term in scoring_terms(q, term_dict):
+        m_idx = 0
+        for pos in sorted(by_term.get(term, [])):
+            while m_idx < len(full):
+                if pos <= full[m_idx].end:
+                    if pos >= full[m_idx].start:
+                        mv.append(_MatchRange(pos, pos))
+                    break
+                m_idx += 1
 
 
 def _phrase_matchv(q: PhraseQuery, by_term, mv: list) -> None:

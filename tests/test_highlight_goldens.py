@@ -169,3 +169,32 @@ def test_range_and_prefix_highlight():
             excerpt_length=150, num_excerpts=2,
         )
         assert got == [expected], (q, got)
+
+
+def test_span_near_highlight():
+    """spanq_get_matchv_i: spans compact to full ranges, then each scoring
+    term occurrence inside a span highlights individually."""
+    from ferret_spark.spans import SpanNearQuery, SpanTermQuery
+
+    q = SpanNearQuery(
+        clauses=(
+            SpanTermQuery(field="field", term="one"),
+            SpanTermQuery(field="field", term="two"),
+        ),
+        slop=0,
+        in_order=True,
+    )
+    got = _hl(q, TEXT, excerpt_length=15, num_excerpts=1)
+    assert got == ["...this; <b>one</b> <b>two</b>..."]
+
+
+def test_span_not_excludes_exc_terms():
+    from ferret_spark.spans import SpanNotQuery, SpanTermQuery
+
+    # "one" spans not near... exclusion never highlights its own terms
+    q = SpanNotQuery(
+        inc=SpanTermQuery(field="field", term="one"),
+        exc=SpanTermQuery(field="field", term="nonexistent"),
+    )
+    got = _hl(q, TEXT, excerpt_length=10, num_excerpts=2)
+    assert got == ["...are <b>one</b>...", "...this; <b>one</b>..."]
