@@ -957,6 +957,45 @@ WHERE rank <= {ANN_BATCH_K} ORDER BY vec_id, rank
 """
 
 
+def _sql_dedup_embedding() -> str:
+    from ferret_spark.pipeline import (
+        ANN_BATCH_CAP,
+        ANN_BATCH_PLANES,
+        DEDUP_EMB_THRESHOLD,
+        _plane_literals,
+    )
+
+    dim = 64  # embeddings table dim (TESTDATA.md)
+    planes = _plane_literals(dim, ANN_BATCH_PLANES)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(e, [{', '.join(repr(c) for c in p)}]"
+        f"::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+bk AS (SELECT vec_id, e, {bucket} AS bucket FROM base),
+capped AS (
+  SELECT * FROM bk
+  QUALIFY count(*) OVER (PARTITION BY bucket)
+          BETWEEN 2 AND {ANN_BATCH_CAP}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+FROM capped a JOIN capped b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 6)
+      >= {DEDUP_EMB_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 def _sql_simhash() -> str:
     from ferret_spark.pipeline import SIMHASH_BITS
 
@@ -1080,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_dedup_ngram_jaccard": _pipe("dedup_ngram_jaccard"),
         "pp_dedup_minhash_lsh": _pipe("dedup_minhash_lsh"),
         "pp_dedup_simhash": _pipe("dedup_simhash"),
+        "pp_dedup_embedding": _pipe("dedup_embedding"),
         "pp_ann_cosine": _pipe("ann_cosine_topk"),
         "pp_ann_lsh": _pipe("ann_lsh_topk"),
         "pp_ann_batch": _pipe("ann_batch_topk"),
@@ -1123,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         "pp_dedup_ngram_jaccard": _sql_ngram_jaccard(),
         "pp_dedup_minhash_lsh": _sql_minhash_lsh(),
         "pp_dedup_simhash": _sql_simhash(),
+        "pp_dedup_embedding": _sql_dedup_embedding(),
         "pp_ann_cosine": _SQL_ANN_COSINE,
         "pp_ann_batch": _sql_ann_batch(),
         "pp_lang_id": _sql_lang_id(),

@@ -495,6 +495,56 @@ def ann_batch_topk(
     )
 
 
+# Near-orthogonal synthetic embeddings put the "near duplicate" band far
+# below real-model cosine ranges — the threshold is data-relative.
+DEDUP_EMB_THRESHOLD = 0.35
+
+
+def dedup_embedding(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = DEDUP_EMB_THRESHOLD,
+    n_planes: int = ANN_BATCH_PLANES,
+    bucket_cap: int = ANN_BATCH_CAP,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: canonical (vec_a < vec_b)
+    pairs whose cosine clears the threshold. Candidate generation is the
+    same deterministic hyperplane-LSH bucket groupBy as ann_batch_topk
+    (one shuffle, in-row pair enumeration, bucket cap — never an
+    all-pairs join), then the exact cosine filter. The semantic-dedup
+    step of a training-data pipeline, next to the lexical dedups
+    (exact/minhash/simhash/jaccard)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    )
+    dim = len(_emb(spark, sf_dir).select("embedding").first()[0])
+    planes = _plane_literals(dim, n_planes)
+    bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_sql("e", planes)))
+    groups = (
+        bucketed.groupBy("bucket")
+        .agg(F.collect_list(F.struct("vec_id", "e")).alias("vs"))
+        .where((F.size("vs") >= 2) & (F.size("vs") <= bucket_cap))
+    )
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(vs, x -> transform(vs,"
+                " y -> struct(x.vec_id AS vec_a, x.e AS ev,"
+                " y.vec_id AS vec_b, y.e AS en)))), p -> p.vec_a < p.vec_b)"
+            )
+        ).alias("p")
+    ).select(
+        "p.vec_a",
+        "p.vec_b",
+        F.round(_cosine_expr("p.ev", "p.en"), 6).alias("cosine"),
+    )
+    return (
+        pairs.where(F.col("cosine") >= F.lit(threshold))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
