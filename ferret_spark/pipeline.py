@@ -622,10 +622,12 @@ def dedup_clusters(
     (2) label[x] <- min(label[x], label[label[x]]) — the shortcutting step
     of large-star/small-star CC, so a chain of diameter D converges in
     O(log D) rounds instead of D (edges and labels stay DataFrames; no
-    driver-side union-find). Each round is localCheckpoint'ed to truncate
-    lineage (an unbounded iterative plan otherwise re-derives every prior
-    round at every action). Non-convergence within max_iters RAISES —
-    partial labels are silently-wrong output for a dedup pipeline."""
+    driver-side union-find). Rounds persist their labels and every third
+    round localCheckpoints to truncate lineage (an unbounded iterative
+    plan otherwise re-derives every prior round at every action; a
+    checkpoint every round would pay one extra materialization job per
+    round instead). Non-convergence within max_iters RAISES — partial
+    labels are silently-wrong output for a dedup pipeline."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
     fwd = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -640,7 +642,8 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
     changed = 0
-    for _ in range(max_iters):
+    prev_persisted = None
+    for it in range(max_iters):
         nbr = (
             edges.join(
                 labels.withColumnRenamed("doc_id", "dst"), "dst"
@@ -667,8 +670,12 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("_lval", "label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        else:
+            new_labels = new_labels.persist()
+        # the convergence probe doubles as the round's materializing action
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -676,6 +683,9 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_labels
         labels = new_labels
         if changed == 0:
             break
