@@ -372,6 +372,47 @@ FROM walk GROUP BY node ORDER BY doc_id
 """
 
 
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window rollup over the events table — the
+    batch-backfill form of the streaming watermark+window plan
+    (streaming.windowed_event_counts runs unchanged on readStream)."""
+    from ferret_spark.streaming import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # window start as a wall-clock string: tz-representation-neutral
+    # across engines (Spark TIMESTAMP_NTZ vs DuckDB TIMESTAMPTZ would
+    # value-mismatch as native types)
+    return (
+        windowed_event_counts(ev)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def _sql_event_windows() -> str:
+    # Spark's window('10 minutes') is epoch-aligned [start, start+600s);
+    # mirror via floor(epoch/600)*600. DECIMAL(18,2) sum matches the
+    # Spark side's order-independent exact aggregation.
+    return """
+SELECT strftime(make_timestamp(((floor(epoch(ts) / 600) * 600)
+                                 * 1000000)::BIGINT),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)::BIGINT AS n,
+       (sum(value::DECIMAL(18,2)))::DOUBLE AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 def _q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ferret_spark.pipeline import keywords_tfidf
 
@@ -1120,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_dedup_minhash_lsh": _pipe("dedup_minhash_lsh"),
         "pp_dedup_simhash": _pipe("dedup_simhash"),
         "pp_dedup_embedding": _pipe("dedup_embedding"),
+        "pp_event_windows": _q_event_windows,
         "pp_ann_cosine": _pipe("ann_cosine_topk"),
         "pp_ann_lsh": _pipe("ann_lsh_topk"),
         "pp_ann_batch": _pipe("ann_batch_topk"),
@@ -1164,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "pp_dedup_minhash_lsh": _sql_minhash_lsh(),
         "pp_dedup_simhash": _sql_simhash(),
         "pp_dedup_embedding": _sql_dedup_embedding(),
+        "pp_event_windows": _sql_event_windows(),
         "pp_ann_cosine": _SQL_ANN_COSINE,
         "pp_ann_batch": _sql_ann_batch(),
         "pp_lang_id": _sql_lang_id(),

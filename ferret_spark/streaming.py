@@ -125,3 +125,37 @@ class StreamingIndexSink:
             .trigger(**trigger_kw)
             .start()
         )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_dur: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation (count + exact value sum)
+    per event_type — the late-data-tolerant rollup of a streaming
+    pipeline. On a STREAMING DataFrame the event-time watermark bounds
+    state (windows finalize once the watermark passes window end and
+    late rows beyond it drop); the same plan runs in batch for backfill,
+    where the watermark is a no-op. Sums aggregate as DECIMAL(18, 2) so
+    the result is independent of partial-aggregation order (bit-equal
+    between engines), then cast to double."""
+    src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window(F.col("ts"), window_dur).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

@@ -136,3 +136,77 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert {t for _, t in got} == {"alpha beta", "gamma delta", "epsilon zeta"}
     assert len(got) == 3
     assert 4 in kept_ids and 1 in kept_ids
+
+
+def test_windowed_event_counts_streaming_watermark(spark, tmp_path):
+    """windowed_event_counts through a real readStream: append-mode output
+    only FINALIZES windows once the watermark (20 min past max event time)
+    passes window end, and a late row arriving in a later run is dropped
+    against the checkpointed watermark — the late-data semantics the batch
+    backfill (pp_event_windows) shares its plan with."""
+    import datetime as dt
+
+    from ferret_spark.streaming import windowed_event_counts
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ev_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(specs):
+        return [
+            {"ts": t0 + dt.timedelta(minutes=m), "event_type": e, "value": v}
+            for m, e, v in specs
+        ]
+
+    schema = "ts timestamp, event_type string, value double"
+
+    def run(qname):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        agg = windowed_event_counts(stream, "10 minutes", "20 minutes")
+        emitted = []
+
+        def sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["window_start"].minute, r["event_type"]): (
+                r["n"], round(r["sum_value"], 2),
+            )
+            for r in emitted
+        }
+
+    # run 1: two clicks in [00:00, 00:10) plus an event at 00:55 that
+    # advances the watermark to 00:35 -> the click window finalizes
+    spark.createDataFrame(
+        rows([(1, "click", 1.0), (4, "click", 2.0), (55, "view", 5.0)]),
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    got1 = run("evwin1")
+    assert got1[(0, "click")] == (2, 3.0)
+
+    # run 2 (same checkpoint): a LATE click at 00:02 — behind the
+    # persisted 00:35 watermark — must be dropped, never re-emitting or
+    # altering the finalized [00:00, 00:10) window
+    spark.createDataFrame(
+        rows([(2, "click", 100.0), (85, "view", 7.0)]),
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    got2 = run("evwin2")
+    assert (0, "click") not in got2
+    assert all(v != (1, 100.0) for v in got2.values())
+    # the [00:50, 01:00) view window finalizes once the watermark
+    # (01:05 = 01:25 - 20min) passes its end
+    assert got2.get((50, "view")) == (1, 5.0)
