@@ -96,3 +96,49 @@ def test_random_query_rank_identity(pair, seed):
     )
     for (gd, gs), (ed, es) in zip(got, exp):
         assert np.float32(gs) == np.float32(es), (seed, q, gd, gs, es)
+
+
+def rand_set_query(rng: random.Random, depth: int = 0):
+    """Query trees whose MATCHED SET is semantics-stable under the
+    past-cap ConstantScoreMatch fallback (set recall is complete even
+    though constant scoring differs from summed BM25)."""
+    if depth >= 2 or rng.random() < 0.45:
+        r = rng.random()
+        if r < 0.4:
+            return TermQuery(field="content", term=rng.choice(VOCAB))
+        if r < 0.75:
+            return PrefixQuery(
+                field="content", prefix=rng.choice(["a", "run", "th", "k", "z"])
+            )
+        return WildcardQuery(
+            field="content", pattern=rng.choice(["r?n*", "*a", "k*a", "?eta"])
+        )
+    n = rng.randint(2, 3)
+    clauses = tuple(
+        Clause(
+            rand_set_query(rng, depth + 1),
+            rng.choices([MUST, SHOULD, MUST_NOT], weights=[3, 4, 1])[0],
+        )
+        for _ in range(n)
+    )
+    return BooleanQuery(clauses=clauses)
+
+
+@pytest.mark.parametrize("seed", list(range(10)))
+def test_random_fallback_docset_identity(pair, seed, monkeypatch):
+    """With the expansion cap forced to 1, every prefix/wildcard leaf takes
+    the pushed-predicate ConstantScoreMatch path; the matched doc SET of
+    any boolean tree must equal the uncapped oracle's (complete recall —
+    the fallback never drops matching terms the way a truncation would)."""
+    import ferret_spark.search as S
+
+    oracle, sidx = pair
+    rng = random.Random(7000 + seed)
+    q = rand_set_query(rng)
+    exp = {d for d, _ in oracle.search(q, k=60)}
+    monkeypatch.setattr(S, "MAX_EXPANDED_TERMS", 1)
+    sidx.filter_cache.clear()
+    got = {
+        r["doc_id"] for r in sidx.search(q, k=None, prune=False).collect()
+    }
+    assert got == exp, f"seed={seed} query={q}"
