@@ -413,6 +413,43 @@ ORDER BY window_start, event_type
 """
 
 
+def _sql_fingerprint_winnow() -> str:
+    from ferret_spark.pipeline import (
+        WINNOW_K,
+        WINNOW_P,
+        WINNOW_W,
+        _WINNOW_POW,
+    )
+
+    g = " + ".join(
+        f"ascii(substr(s, i + {j}, 1))::BIGINT * {_WINNOW_POW[j]}"
+        for j in range(WINNOW_K)
+    )
+    return rf"""
+WITH nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+  FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(s) - {WINNOW_K - 1}, 1)),
+           i -> ({g}) % {WINNOW_P}) AS h
+  FROM nrm
+),
+mins AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(h) - {WINNOW_W - 1}, 1)),
+           i -> list_min(h[i : i + {WINNOW_W - 1}])) AS m
+  FROM hs
+)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(m)), ',')) AS winnow_fp
+FROM mins ORDER BY doc_id
+"""
+
+
 def _q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ferret_spark.pipeline import keywords_tfidf
 
@@ -1162,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_dedup_simhash": _pipe("dedup_simhash"),
         "pp_dedup_embedding": _pipe("dedup_embedding"),
         "pp_event_windows": _q_event_windows,
+        "pp_fingerprint_winnow": _pipe("fingerprint_winnow"),
         "pp_ann_cosine": _pipe("ann_cosine_topk"),
         "pp_ann_lsh": _pipe("ann_lsh_topk"),
         "pp_ann_batch": _pipe("ann_batch_topk"),
@@ -1207,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         "pp_dedup_simhash": _sql_simhash(),
         "pp_dedup_embedding": _sql_dedup_embedding(),
         "pp_event_windows": _sql_event_windows(),
+        "pp_fingerprint_winnow": _sql_fingerprint_winnow(),
         "pp_ann_cosine": _SQL_ANN_COSINE,
         "pp_ann_batch": _sql_ann_batch(),
         "pp_lang_id": _sql_lang_id(),

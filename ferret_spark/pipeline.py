@@ -754,6 +754,54 @@ def keywords_tfidf(
     )
 
 
+# winnowing parameters: k-char grams under a Rabin-style polynomial hash,
+# window-min selection (Schleimer/Wilkerson/Aiken, SIGMOD'03). Guarantee:
+# any shared substring of length >= K + W - 1 contributes at least one
+# common fingerprint hash between two documents.
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_B = 257
+WINNOW_P = 1_000_000_007
+_WINNOW_POW = [pow(WINNOW_B, WINNOW_K - 1 - j, WINNOW_P) for j in range(WINNOW_K)]
+
+
+def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint by winnowing: polynomial hash of
+    every K-char gram of the normalized text, min per W-hash window,
+    md5 over the sorted distinct mins. Robust to local edits (only the
+    windows covering the edit change) — the plagiarism/near-dup
+    fingerprint complementing the order-insensitive token-set
+    fingerprint. Pure JVM: one codegen'd regex normalize plus array
+    higher-order functions; the per-gram hash is the direct unrolled
+    polynomial (bench docs are short; at 100 TB the identical math runs
+    in a vectorized Pandas UDF if profile demands)."""
+    d = _docs(spark, sf_dir)
+    norm = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
+    gram = " + ".join(
+        f"ascii(substring(s, i + {j}, 1)) * {_WINNOW_POW[j]}L"
+        for j in range(WINNOW_K)
+    )
+    h = (
+        f"transform(sequence(1, greatest(length(s) - {WINNOW_K - 1}, 1)),"
+        f" i -> ({gram}) % {WINNOW_P}L)"
+    )
+    mins = (
+        f"transform(sequence(1, greatest(size(h) - {WINNOW_W - 1}, 1)),"
+        f" i -> array_min(slice(h, i, {WINNOW_W})))"
+    )
+    return (
+        d.selectExpr("doc_id", f"{norm} AS s")
+        .selectExpr("doc_id", f"{h} AS h")
+        .selectExpr("doc_id", f"{mins} AS mins")
+        .selectExpr(
+            "doc_id",
+            "md5(array_join(transform(array_sort(array_distinct(mins)),"
+            " x -> cast(x as string)), ',')) AS winnow_fp",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (word-shuffle-invariant near-dup key)."""
