@@ -765,39 +765,51 @@ WINNOW_P = 1_000_000_007
 _WINNOW_POW = [pow(WINNOW_B, WINNOW_K - 1 - j, WINNOW_P) for j in range(WINNOW_K)]
 
 
+def winnow_min_hashes(s: str) -> list[int]:
+    """Sorted distinct window-min gram hashes of one normalized string —
+    numpy sliding windows, integer math identical to the SQL twin
+    (codepoint * B^j sums mod P; all intermediates < 2^63)."""
+    codes = np.array([ord(c) for c in s], dtype=np.int64)
+    k, w = WINNOW_K, WINNOW_W
+    m = max(len(codes) - (k - 1), 1)
+    h = np.zeros(m, dtype=np.int64)
+    for j, p in enumerate(_WINNOW_POW):
+        seg = codes[j : j + m]
+        if len(seg) < m:  # short doc: missing chars hash as 0 (ascii(''))
+            seg = np.pad(seg, (0, m - len(seg)))
+        h += seg * p
+    h %= WINNOW_P
+    nw = max(m - (w - 1), 1)
+    mins = np.lib.stride_tricks.sliding_window_view(
+        np.pad(h, (0, max(nw + w - 1 - m, 0)), constant_values=np.iinfo(np.int64).max),
+        w,
+    )[:nw].min(axis=1)
+    return sorted(set(int(x) for x in mins))
+
+
 def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint by winnowing: polynomial hash of
     every K-char gram of the normalized text, min per W-hash window,
     md5 over the sorted distinct mins. Robust to local edits (only the
     windows covering the edit change) — the plagiarism/near-dup
     fingerprint complementing the order-insensitive token-set
-    fingerprint. Pure JVM: one codegen'd regex normalize plus array
-    higher-order functions; the per-gram hash is the direct unrolled
-    polynomial (bench docs are short; at 100 TB the identical math runs
-    in a vectorized Pandas UDF if profile demands)."""
-    d = _docs(spark, sf_dir)
+    fingerprint. Normalization and the final md5 stay JVM-side; the
+    per-gram polynomial runs as an Arrow-batched numpy UDF (a per-char
+    interpreted HOF lambda costs ~50x; numpy sliding windows match the
+    SQL twin's integers exactly)."""
+    import pandas as pd_  # noqa: F401
+
+    @F.pandas_udf("string")
+    def fp(ss: pd.Series) -> pd.Series:
+        return ss.map(
+            lambda s: ",".join(str(x) for x in winnow_min_hashes(s))
+        )
+
+    d = _docs_wide(spark, sf_dir)
     norm = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
-    gram = " + ".join(
-        f"ascii(substring(s, i + {j}, 1)) * {_WINNOW_POW[j]}L"
-        for j in range(WINNOW_K)
-    )
-    h = (
-        f"transform(sequence(1, greatest(length(s) - {WINNOW_K - 1}, 1)),"
-        f" i -> ({gram}) % {WINNOW_P}L)"
-    )
-    mins = (
-        f"transform(sequence(1, greatest(size(h) - {WINNOW_W - 1}, 1)),"
-        f" i -> array_min(slice(h, i, {WINNOW_W})))"
-    )
     return (
         d.selectExpr("doc_id", f"{norm} AS s")
-        .selectExpr("doc_id", f"{h} AS h")
-        .selectExpr("doc_id", f"{mins} AS mins")
-        .selectExpr(
-            "doc_id",
-            "md5(array_join(transform(array_sort(array_distinct(mins)),"
-            " x -> cast(x as string)), ',')) AS winnow_fp",
-        )
+        .select("doc_id", F.md5(fp(F.col("s"))).alias("winnow_fp"))
         .orderBy("doc_id")
     )
 
