@@ -14,6 +14,8 @@ Operators:
 - SimHash                64-bit sign-aggregate fingerprint (pandas UDF)
 - ANN brute-force        cosine top-k via zip_with/aggregate expressions
 - ANN LSH                random-hyperplane bucketing (deterministic planes)
+- embedding near-dup     LSH-bucketed exact-cosine pair filter
+- winnowing fingerprint  k-gram rolling hash, window-min selection
 - language id            stopword-ratio heuristic
 - quality score          length/alpha/stopword mix
 - token counts           whitespace + word-regex counts
