@@ -131,3 +131,32 @@ def test_matches_predicate():
     )
     assert w.matches("tag005") and not w.matches("tag006")
     assert not w.matches("zag005")
+
+
+def test_declarative_path_fallback(spark, tmp_path_factory, monkeypatch):
+    """The declarative planner (SparkIndex) must also honor the fallback:
+    past the cap, plan_const_match scans postings with the pushed
+    predicate and scores constant — same doc set as full expansion."""
+    import ferret_spark.search as S
+    from ferret_spark.index import SparkIndex
+
+    rows = [
+        {"doc_id": i, "content": f"alpha w{i % 5} tag{i:03d}"}
+        for i in range(60)
+    ]
+    idx = SparkIndex.build(
+        spark, spark.createDataFrame(rows), {"content": "whitespace"},
+        doc_id_col="doc_id",
+    )
+    path = str(tmp_path_factory.mktemp("decl_fb"))
+    idx.save(path)
+    idx = SparkIndex.load(spark, path)
+    q = PrefixQuery(field="content", prefix="tag00")
+    expanded = {r["doc_id"] for r in idx.search(q, k=60).collect()}
+    monkeypatch.setattr(S, "MAX_EXPANDED_TERMS", 4)
+    fallback = {r["doc_id"] for r in idx.search(q, k=60).collect()}
+    assert fallback == expanded == set(range(10))
+    # and the fallback plan carries no Python eval node
+    plan = idx.search(q, k=60)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
