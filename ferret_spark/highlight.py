@@ -790,4 +790,12 @@ def _explain_node(q, dfs, n, index, doc_info, doc_id) -> Explanation:
         )
     if isinstance(q, RangeQuery):
         return Explanation(q.boost, "constant score (range)")
+    # post-rewrite constant-score nodes (ConstantScoreTerms / Range /
+    # Match — the capped-expansion fallbacks): hits score boost * 1.0
+    if type(q).__name__ in (
+        "ConstantScoreTerms", "ConstantScoreRange", "ConstantScoreMatch"
+    ):
+        return Explanation(
+            q.boost, f"constant score ({type(q).__name__})"
+        )
     return Explanation(0.0, f"unexplained {type(q).__name__}")
