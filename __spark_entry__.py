@@ -413,6 +413,48 @@ ORDER BY window_start, event_type
 """
 
 
+def _sql_ann_ivf(query_vec_id: int = 0, k: int = 10) -> str:
+    from ferret_spark.pipeline import (
+        IVF_NPROBE,
+        _ivf_centroid_literals,
+    )
+
+    dim = 64  # embeddings table dim (TESTDATA.md)
+    cents = _ivf_centroid_literals(dim)
+    structs = ", ".join(
+        "{'d': list_dot_product(e, ["
+        + ", ".join(repr(x) for x in c)
+        + "]::DOUBLE[]), 'i': "
+        + str(i)
+        + "}"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, e, (list_max([{structs}])).i AS cid FROM base
+),
+q AS (SELECT e, cid FROM assigned WHERE vec_id = {query_vec_id}),
+probes AS (
+  SELECT unnest(list_transform(
+           list_reverse_sort([{structs}]), x -> x.i
+         )[1:{IVF_NPROBE}]) AS pid
+  FROM (SELECT e FROM q)
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.e, q.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
+FROM assigned a, q
+WHERE a.cid IN (SELECT pid FROM probes)
+  AND a.vec_id <> {query_vec_id}
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {k}
+"""
+
+
 def _sql_fingerprint_winnow() -> str:
     from ferret_spark.pipeline import (
         WINNOW_K,
@@ -1203,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_ann_cosine": _pipe("ann_cosine_topk"),
         "pp_ann_lsh": _pipe("ann_lsh_topk"),
         "pp_ann_batch": _pipe("ann_batch_topk"),
+        "pp_ann_ivf": _pipe("ann_ivf_topk"),
         "pp_lang_id": _pipe("text_lang_id"),
         "pp_quality": _pipe("text_quality"),
         "pp_token_count": _pipe("text_token_count"),
@@ -1248,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         "pp_fingerprint_winnow": _sql_fingerprint_winnow(),
         "pp_ann_cosine": _SQL_ANN_COSINE,
         "pp_ann_batch": _sql_ann_batch(),
+        "pp_ann_ivf": _sql_ann_ivf(),
         "pp_lang_id": _sql_lang_id(),
         "pp_quality": _SQL_QUALITY,
         "pp_token_count": _SQL_TOKEN_COUNT,

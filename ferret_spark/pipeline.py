@@ -14,6 +14,7 @@ Operators:
 - SimHash                64-bit sign-aggregate fingerprint (pandas UDF)
 - ANN brute-force        cosine top-k via zip_with/aggregate expressions
 - ANN LSH                random-hyperplane bucketing (deterministic planes)
+- ANN IVF                fixed coarse quantizer, nprobe inverted lists
 - embedding near-dup     LSH-bucketed exact-cosine pair filter
 - winnowing fingerprint  k-gram rolling hash, window-min selection
 - language id            stopword-ratio heuristic
@@ -425,6 +426,80 @@ def ann_lsh_topk(
 ANN_BATCH_PLANES = 6  # 64 LSH buckets
 ANN_BATCH_CAP = 200  # max vectors per bucket entering pair enumeration
 ANN_BATCH_K = 5
+
+# IVF coarse quantizer: FIXED deterministic centroids (seeded gaussians,
+# float64 literals inlined into both engines) — the trained-k-means slot
+# of a production IVF index, replaced by a reproducible quantizer so the
+# SQL twin can mirror assignment bit-exactly.
+IVF_CENTROIDS = 16
+IVF_NPROBE = 2
+
+
+def _ivf_centroid_literals(
+    dim: int, n: int = IVF_CENTROIDS, seed: int = 11
+) -> list[list[float]]:
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return [[float(x) for x in row] for row in rng.standard_normal((n, dim))]
+
+
+def _ivf_dot_structs(vec: str, cents: list[list[float]]) -> str:
+    """Spark SQL array of struct(d=dot(vec, c_i), i) — struct comparison
+    orders by dot then index, so max/sort are deterministic under ties."""
+    parts = []
+    for i, c in enumerate(cents):
+        arr = ", ".join(repr(x) for x in c)
+        dot = (
+            f"aggregate(zip_with({vec}, array({arr}), (x, y) -> x * y),"
+            f" 0D, (s, x) -> s + x)"
+        )
+        parts.append(f"struct({dot} AS d, {i} AS i)")
+    return f"array({', '.join(parts)})"
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style ANN (the inverted-list scale path next to LSH): every
+    vector is assigned to its max-dot coarse centroid (fixed deterministic
+    quantizer); the query probes its ``nprobe`` best centroids and exact
+    cosine re-ranks only those lists. At cluster scale the assignment is
+    a partition key — each probe touches 1/{IVF_CENTROIDS} of the data
+    per list instead of all vectors."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    )
+    dim = len(_emb(spark, sf_dir).select("embedding").first()[0])
+    cents = _ivf_centroid_literals(dim)
+    structs = _ivf_dot_structs("e", cents)
+    assigned = emb.withColumn("cid", F.expr(f"array_max({structs}).i"))
+    qe = [
+        float(x)
+        for x in assigned.where(F.col("vec_id") == query_vec_id)
+        .select("e")
+        .first()[0]
+    ]
+    # probe ids computed with the same left-fold float64 order as the
+    # engines -> identical assignment arithmetic
+    dots = []
+    for i, c in enumerate(cents):
+        s = 0.0
+        for x, y in zip(qe, c):
+            s += x * y
+        dots.append((s, i))
+    probe = [i for _, i in sorted(dots, reverse=True)[:nprobe]]
+    cand = assigned.where(
+        F.col("cid").isin(probe) & (F.col("vec_id") != query_vec_id)
+    )
+    qv = spark.createDataFrame([(qe,)], "qv array<double>")
+    scored = cand.crossJoin(F.broadcast(qv)).select(
+        "vec_id", F.round(_cosine_expr("e", "qv"), 6).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
 def _plane_literals(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -115,3 +115,22 @@ def test_non_convergence_raises_not_silent(spark, monkeypatch):
     monkeypatch.setattr(P, "dedup_minhash_lsh", lambda s, d, **kw: pairs_df)
     with pytest.raises(RuntimeError, match="did not converge"):
         P.dedup_clusters(spark, "unused", max_iters=2)
+
+
+def test_ann_ivf_exact_rerank(spark):
+    """IVF probes coarse lists, but the re-rank within candidates is
+    EXACT cosine: every returned (vec, cosine) must agree with the
+    brute-force scorer, descending, self excluded."""
+    from ferret_spark.pipeline import ann_cosine_topk, ann_ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    ivf = [(r["vec_id"], r["cosine"]) for r in ann_ivf_topk(spark, sf).collect()]
+    assert len(ivf) == 10
+    assert all(ivf[i][1] >= ivf[i + 1][1] for i in range(len(ivf) - 1))
+    assert all(v != 0 for v, _ in ivf)
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in ann_cosine_topk(spark, sf, k=10**6).collect()
+    }
+    for v, c in ivf:
+        assert brute[v] == c, (v, c, brute.get(v))
