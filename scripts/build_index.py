@@ -17,8 +17,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# local runs without --py-files: resolve the package from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
@@ -37,6 +41,14 @@ def main(argv=None):
     ap.add_argument("--salt-buckets", type=int, default=64)
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic docs instead of --input")
+    ap.add_argument(
+        "--source-format",
+        default="parquet",
+        choices=("parquet", "iceberg", "table"),
+        help="parquet path (default), iceberg path (needs the Iceberg "
+        "runtime jar + catalog conf on the cluster), or a catalog "
+        "table name",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,7 +67,15 @@ def main(argv=None):
         corpus = synth_corpus_df(spark, args.synthetic, num_partitions=64)
     else:
         assert args.input, "--input or --synthetic required"
-        corpus = spark.read.parquet(args.input)
+        if args.source_format == "parquet":
+            corpus = spark.read.parquet(args.input)
+        elif args.source_format == "iceberg":
+            # catalog-less path load; snapshot/branch selection via the
+            # standard Iceberg read options on the submit conf
+            corpus = spark.read.format("iceberg").load(args.input)
+        else:  # table: resolved through the session catalog (Iceberg or
+            # any other table provider the cluster configures)
+            corpus = spark.read.table(args.input)
 
     t0 = time.time()
     builder = SegmentIndexBuilder(

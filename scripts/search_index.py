@@ -9,6 +9,12 @@
 
 from __future__ import annotations
 
+import os
+import sys
+
+# local runs without --py-files: resolve the package from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys
