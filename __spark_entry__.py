@@ -261,6 +261,93 @@ def _q_phrase(t1: str, t2: str):
     return f
 
 
+def _q_phrase_slop(t1: str, t2: str, slop: int):
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ferret_spark.query import PhraseQuery
+
+        q = PhraseQuery.of("text", [t1, t2], slop=slop)
+        return _topk(_get_index(spark, sf_dir), q)
+
+    return f
+
+
+def _sql_phrase_slop(t1: str, t2: str, slop: int, k: int = K) -> str:
+    """Sloppy 2-term phrase twin. Mirrors the engine's alternating-chain
+    form of the reference walk (phrase_np.sloppy_freq2_batch): events
+    alternate between the two offset-adjusted position lists (first event
+    at the max of the two first positions, ties to the larger-offset
+    slot), each event contributing a window of
+    match_length = greatest(event, 0) - (largest other-list value <= event);
+    windows with match_length <= slop add 1/(match_length+1).  The
+    recursive CTE walks the same chain; contributions sum in event order
+    (list_sum over an ORDER BY t list) for float64 parity."""
+    idf1 = _IDF.format(n="st.n", df="(SELECT df FROM tstat WHERE term='{t}')::DOUBLE")
+    tfp = _TFP.format(tf="ph.freq", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    return (
+        _PRELUDE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+        + f""",
+pos2 AS (
+  SELECT doc_id, pos::BIGINT AS val, 0 AS tag FROM tok2 WHERE term = '{t1}'
+  UNION ALL
+  SELECT doc_id, pos::BIGINT - 1 AS val, 1 AS tag FROM tok2 WHERE term = '{t2}'
+),
+firsts AS (
+  SELECT a.doc_id, a.m AS ma, b.m AS mb
+  FROM (SELECT doc_id, min(val) AS m FROM pos2 WHERE tag = 0 GROUP BY 1) a
+  JOIN (SELECT doc_id, min(val) AS m FROM pos2 WHERE tag = 1 GROUP BY 1) b
+    USING (doc_id)
+),
+chain AS (
+  SELECT doc_id,
+         greatest(ma, mb) AS m,
+         CASE WHEN ma > mb THEN 0 ELSE 1 END AS lst,
+         greatest(greatest(ma, mb), 0)
+           - (SELECT max(p.val) FROM pos2 p
+              WHERE p.doc_id = firsts.doc_id
+                AND p.tag = CASE WHEN ma > mb THEN 1 ELSE 0 END
+                AND p.val <= greatest(ma, mb)) AS w,
+         1 AS t
+  FROM firsts
+  UNION ALL
+  SELECT c.doc_id,
+         (SELECT min(p.val) FROM pos2 p
+          WHERE p.doc_id = c.doc_id AND p.tag = 1 - c.lst
+            AND p.val > c.m) AS m,
+         1 - c.lst AS lst,
+         greatest((SELECT min(p.val) FROM pos2 p
+                   WHERE p.doc_id = c.doc_id AND p.tag = 1 - c.lst
+                     AND p.val > c.m), 0)
+           - (SELECT max(p.val) FROM pos2 p
+              WHERE p.doc_id = c.doc_id AND p.tag = c.lst
+                AND p.val <= (SELECT min(p2.val) FROM pos2 p2
+                              WHERE p2.doc_id = c.doc_id
+                                AND p2.tag = 1 - c.lst
+                                AND p2.val > c.m)) AS w,
+         c.t + 1 AS t
+  FROM chain c
+  WHERE (SELECT min(p.val) FROM pos2 p
+         WHERE p.doc_id = c.doc_id AND p.tag = 1 - c.lst
+           AND p.val > c.m) IS NOT NULL
+),
+ph AS (
+  SELECT doc_id,
+         list_sum(list(CASE WHEN w <= {slop} THEN 1.0 / (w + 1.0)
+                            ELSE 0.0 END ORDER BY t)) AS freq
+  FROM chain GROUP BY doc_id
+),
+idfs AS (
+  SELECT ({idf1.format(t=t1)}) + ({idf1.format(t=t2)}) AS idf_sum
+  FROM st
+),
+scored AS (
+  SELECT ph.doc_id, idfs.idf_sum * {tfp} AS s
+  FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN idfs
+  WHERE ph.freq > 0.0
+)"""
+        + _RANKED.format(k=k)
+    )
+
+
 def _q_prefix(prefix: str):
     def f(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ferret_spark.query import PrefixQuery
@@ -1257,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_or": _q_bool("or", "spark", "stream"),
         "ft_bool_not": _q_bool("not", "scan", "join"),
         "ft_phrase": _q_phrase("table", "hash"),
+        "ft_phrase_slop": _q_phrase_slop("table", "hash", 2),
         "ft_prefix": _q_prefix("sc"),
         "ft_wildcard": _q_wildcard("s?an"),
         "ft_fuzzy": _q_fuzzy("sprak", 0.5),
@@ -1303,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bool_or": _sql_bool_or("spark", "stream"),
         "ft_bool_not": _sql_bool_not("scan", "join"),
         "ft_phrase": _sql_phrase("table", "hash"),
+        "ft_phrase_slop": _sql_phrase_slop("table", "hash", 2),
         "ft_prefix": _sql_multi_term("p.term LIKE 'sc%'"),
         "ft_wildcard": _sql_multi_term("p.term LIKE 's_an'"),
         "ft_fuzzy": _sql_multi_term(

@@ -53,6 +53,13 @@ from ferret_spark.query import (
 )
 
 
+# phrase slots whose df is at or below this broadcast their (already
+# df-bounded) join accumulator instead of shuffling the bigger slots'
+# positional postings; sized so even position-heavy rows stay far under
+# Spark's broadcast memory ceiling
+PHRASE_BROADCAST_DF = 50_000
+
+
 # ---------------------------------------------------------------------------
 # Spark-side rewrite: multi-term expansion with SQL pushdown
 
@@ -343,6 +350,7 @@ class _Planner:
 
         # one slot-DF per constraint: (doc_id, positions, doc_len)
         slot_dfs = []
+        slot_counts = []
         for i, (off, alts) in enumerate(q.positions):
             alts_live = [t for t in alts if self.dfs.get((field, t), 0) > 0]
             if not alts_live:
@@ -362,10 +370,25 @@ class _Planner:
                     F.first("doc_len").alias(f"dl{i}"),
                 )
             slot_dfs.append(sdf)
+            slot_counts.append(
+                sum(self.dfs.get((field, t), 0) for t in alts_live)
+            )
 
-        joined = slot_dfs[0]
-        for sdf in slot_dfs[1:]:
-            joined = joined.join(sdf, "doc_id")
+        # join slots in df-ascending order (csc_sort_scorers sparsity
+        # ordering, c/src/q_boolean.c:282-299): every intermediate is
+        # bounded by the rarest slot's df.  When that bound is small,
+        # broadcast the ACCUMULATED side so the hot terms' huge positional
+        # postings never shuffle — at web scale the common phrase shape is
+        # one rare term + one stop-ish term, and this turns the positional
+        # join into a broadcast hash join on the big side's scan.
+        order = sorted(range(len(slot_dfs)), key=lambda i: (slot_counts[i], i))
+        joined = slot_dfs[order[0]]
+        bound = slot_counts[order[0]]
+        for j in order[1:]:
+            if bound <= PHRASE_BROADCAST_DF:
+                joined = slot_dfs[j].join(F.broadcast(joined), "doc_id")
+            else:
+                joined = joined.join(slot_dfs[j], "doc_id")
 
         offsets = [off for off, _ in q.positions]
         slop = q.slop
@@ -389,11 +412,32 @@ class _Planner:
                 adj = _shift(F.col(f"p{i}"), offsets[i])
                 inter = adj if inter is None else F.array_intersect(inter, adj)
             freq = F.size(inter).cast("double")
+        elif len(q.positions) == 2 and not repeats:
+            # sloppy 2-term phrase (the dominant case): whole-batch numpy
+            # kernel — one alternating-chain walk over the Arrow batch's
+            # flattened position arrays, no per-row Python
+            # (phrase_np.sloppy_freq2_batch, bit-identical to the oracle
+            # walk by property test)
+            from ferret_spark.phrase_np import sloppy_freq2_batch
+
+            o0, o1 = offsets
+
+            @F.pandas_udf("double")
+            def phrase_freq2(pa: pd.Series, pb: pd.Series) -> pd.Series:
+                return pd.Series(
+                    sloppy_freq2_batch(pa.to_numpy(), pb.to_numpy(), o0, o1, slop)
+                )
+
+            # explode(array(udf)) puts a Generate barrier between the UDF
+            # and the freq>0 filter: Catalyst cannot push the filter
+            # through it, so the batch kernel runs ONCE per row instead of
+            # once for the filter and again for the score projection
+            freq = F.explode(F.array(phrase_freq2(F.col("p0"), F.col("p1"))))
         else:
-            # sloppy matching walks position lists with a moving window per
+            # >=3-slot sloppy (or repeated-term) phrases: the k-way heap
+            # walk with repeat reconciliation is genuinely sequential per
             # doc (pp_next_unignored analog, c/src/q_phrase.c:1124-1187) —
-            # genuinely sequential per doc, so it stays an Arrow-batched
-            # pandas UDF; batches convert to numpy arrays once per column
+            # Arrow-batched pandas UDF, per-doc oracle walk
             from ferret_spark.oracle import sloppy_phrase_freq
 
             @F.pandas_udf("double")
@@ -411,7 +455,11 @@ class _Planner:
                     )
                 return pd.Series(out)
 
-            freq = phrase_freq(*[F.col(f"p{i}") for i in range(len(q.positions))])
+            freq = F.explode(
+                F.array(
+                    phrase_freq(*[F.col(f"p{i}") for i in range(len(q.positions))])
+                )
+            )
         scored = (
             joined.withColumn("freq", freq)
             .where(F.col("freq") > 0.0)

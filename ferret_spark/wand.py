@@ -679,29 +679,58 @@ class _SegEval:
                 mask[d] = True
                 score[d] = s
             return mask, score
-        for d in sorted(cand):
-            adjusted = [
-                [int(p) - offsets[i] for p in slot_pos[i][d]]
-                for i in range(len(offsets))
-            ]
-            if q.slop == 0:
-                sset = set(adjusted[0])
-                for a in adjusted[1:]:
-                    sset &= set(a)
-                freq = float(len(sset))
-            else:
-                freq = sloppy_phrase_freq(adjusted, offsets, q.slop, repeats)
-            if freq > 0.0:
-                dl = slot_dls[int(d)]
-                s = (
-                    q.boost
-                    * idf_sum
-                    * (freq * (K1 + 1.0))
-                    / (freq + K1 * (1.0 - B + B * dl / avgdl))
-                )
-                mask[d] = True
-                score[d] = s
+        docs = np.fromiter(sorted(cand), dtype=np.int64, count=len(cand))
+        freq_arr = _phrase_freq_vec(q, slot_pos, offsets, repeats, docs)
+        dl = np.fromiter(
+            (slot_dls[int(d)] for d in docs), dtype=np.float64, count=len(docs)
+        )
+        nz = freq_arr > 0.0
+        f = freq_arr[nz]
+        dd = docs[nz]
+        # same float64 grouping as the scalar form:
+        # ((boost*idf_sum) * (f*(K1+1))) / (f + K1*(1-B+B*dl/avgdl))
+        s = (
+            q.boost
+            * idf_sum
+            * (f * (K1 + 1.0))
+            / (f + K1 * (1.0 - B + B * dl[nz] / avgdl))
+        )
+        mask[dd] = True
+        score[dd] = s
         return mask, score
+
+
+def _phrase_freq_vec(q, slot_pos, offsets, repeats, docs):
+    """Per-candidate-doc phrase freqs, vectorized where the shape allows:
+    exact phrases batch through the k-way group-count kernel, 2-term
+    sloppy phrases through the alternating-chain kernel (phrase_np) —
+    one numpy pass over the whole segment's candidates instead of a
+    Python walk per doc.  >=3-slot sloppy / repeated-term phrases keep
+    the per-doc oracle walk (heap + repeat reconciliation is genuinely
+    sequential)."""
+    from ferret_spark.phrase_np import exact_freqk_batch, sloppy_freq2_batch
+
+    k = len(q.positions)
+    if q.slop == 0:
+        return exact_freqk_batch(
+            [[slot_pos[i][int(d)] for d in docs] for i in range(k)], offsets
+        )
+    if k == 2 and not repeats:
+        return sloppy_freq2_batch(
+            [slot_pos[0][int(d)] for d in docs],
+            [slot_pos[1][int(d)] for d in docs],
+            offsets[0],
+            offsets[1],
+            q.slop,
+        )
+    out = np.zeros(len(docs), dtype=np.float64)
+    for j, d in enumerate(docs):
+        adjusted = [
+            [int(p) - offsets[i] for p in slot_pos[i][int(d)]]
+            for i in range(k)
+        ]
+        out[j] = sloppy_phrase_freq(adjusted, offsets, q.slop, repeats)
+    return out
 
 
 def _phrase_repeats(q: PhraseQuery) -> bool:
@@ -879,21 +908,13 @@ class _SegEvalTFIDF(_SegEval):
             cand &= m.keys()
         offsets = [off for off, _ in q.positions]
         repeats = _phrase_repeats(q)
-        freqs = {}
-        for d in sorted(cand):
-            adjusted = [
-                [int(p) - offsets[i] for p in slot_pos[i][d]]
-                for i in range(len(offsets))
-            ]
-            if q.slop == 0:
-                s = set(adjusted[0])
-                for a in adjusted[1:]:
-                    s &= set(a)
-                f = float(len(s))
-            else:
-                f = sloppy_phrase_freq(adjusted, offsets, q.slop, repeats)
-            if f > 0.0:
-                freqs[d] = f
+        docs = np.fromiter(sorted(cand), dtype=np.int64, count=len(cand))
+        freq_arr = _phrase_freq_vec(q, slot_pos, offsets, repeats, docs)
+        freqs = {
+            int(d): float(f)
+            for d, f in zip(docs.tolist(), freq_arr.tolist())
+            if f > 0.0
+        }
         return freqs, dls_map
 
 

@@ -93,3 +93,43 @@ def test_exact_phrase_plan_has_no_python_udf(saved_idx):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan, f"{marker} found in exact-phrase plan:\n{plan}"
     assert len(df.collect()) > 0
+
+
+def test_sloppy2_phrase_routes_to_batch_kernel(saved_idx):
+    """Declarative slop>0 two-term phrases must score through the
+    whole-batch numpy kernel (phrase_freq2 / phrase_np.sloppy_freq2_batch),
+    never the per-row oracle-walk fallback (phrase_freq): one Arrow-batched
+    UDF evaluating the whole batch at once, no row-at-a-time Python."""
+    from ferret_spark.query import PhraseQuery
+
+    q = PhraseQuery.of("content", ["word1", "word2"], slop=2)
+    df = saved_idx.search(q, k=10)
+    plan = _executed_plan(df)
+    assert "phrase_freq2" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert len(df.collect()) > 0
+
+
+def test_sloppy3_phrase_uses_per_doc_fallback(saved_idx):
+    """>=3-slot sloppy phrases keep the per-doc oracle walk (documented
+    sequential case)."""
+    from ferret_spark.query import PhraseQuery
+
+    q = PhraseQuery.of("content", ["word1", "word2", "word3"], slop=3)
+    df = saved_idx.search(q, k=10)
+    plan = _executed_plan(df)
+    assert "phrase_freq" in plan and "phrase_freq2" not in plan
+
+
+def test_phrase_join_broadcasts_rare_side(saved_idx):
+    """The df-ordered phrase join broadcasts the df-bounded accumulator
+    when the rarest slot is under PHRASE_BROADCAST_DF — the hot slot's
+    positional postings never shuffle."""
+    from ferret_spark.query import PhraseQuery
+
+    for slop in (0, 2):
+        q = PhraseQuery.of("content", ["word1", "word2"], slop=slop)
+        df = saved_idx.search(q, k=10)
+        plan = _executed_plan(df)
+        assert "BroadcastHashJoin" in plan, plan
