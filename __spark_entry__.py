@@ -500,14 +500,20 @@ ORDER BY window_start, event_type
 """
 
 
-def _sql_ann_ivf(query_vec_id: int = 0, k: int = 10) -> str:
-    from ferret_spark.pipeline import (
-        IVF_NPROBE,
-        _ivf_centroid_literals,
-    )
+_ORACLE_SF_DIR = __import__("os").environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 
-    dim = 64  # embeddings table dim (TESTDATA.md)
-    cents = _ivf_centroid_literals(dim)
+
+def _sql_ann_ivf(query_vec_id: int = 0, k: int = 10) -> str:
+    """IVF twin. The trained codebook (deterministic sample + seeded
+    k-means, ivf_trained_centroids) is generated once per process and
+    shared by the Spark query (broadcast data) and this SQL (literals) —
+    the driver compares at sf0.01, so the twin trains on the same table
+    the Spark side will see."""
+    from ferret_spark.pipeline import IVF_NPROBE, ivf_trained_centroids
+
+    cents = ivf_trained_centroids(_ORACLE_SF_DIR)
     structs = ", ".join(
         "{'d': list_dot_product(e, ["
         + ", ".join(repr(x) for x in c)

@@ -79,6 +79,48 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_EMB_DIM_CACHE: dict = {}
+_QVEC_CACHE: dict = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding dimensionality — ONE driver lookup per (session, table),
+    cached (each ANN entry point needs it for plane/centroid literals)."""
+    key = (id(spark), sf_dir)
+    d = _EMB_DIM_CACHE.get(key)
+    if d is None:
+        d = len(_emb(spark, sf_dir).select("embedding").first()[0])
+        _EMB_DIM_CACHE[key] = d
+    return d
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    """One cached driver fetch of a query vector (float64)."""
+    key = (id(spark), sf_dir, vec_id)
+    v = _QVEC_CACHE.get(key)
+    if v is None:
+        row = (
+            _emb(spark, sf_dir)
+            .where(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .first()
+        )
+        v = [float(x) for x in row[0]]
+        _QVEC_CACHE[key] = v
+        _EMB_DIM_CACHE[(id(spark), sf_dir)] = len(v)
+    return v
+
+
+def _dot(a, b) -> float:
+    """Left-fold float64 dot — the same IEEE addition order as the
+    engines' aggregate(zip_with(...)) / list_dot_product folds, so
+    driver-side bucketing/probing is bit-identical to executor-side."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
 def _toks_col():
     return F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")
 
@@ -403,20 +445,19 @@ def ann_lsh_topk(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
     )
-    dim = len(_emb(spark, sf_dir).select("embedding").first()[0])
-    planes = _plane_literals(dim, n_planes)
+    qe = _query_vec(spark, sf_dir, query_vec_id)  # one cached driver fetch
+    planes = _plane_literals(len(qe), n_planes)
     bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_sql("e", planes)))
-    qrow = bucketed.where(F.col("vec_id") == query_vec_id).select(
-        "bucket", "e"
-    ).first()
-    qbucket = int(qrow["bucket"])
+    # query bucket via the same left-fold float64 dot as the engine
+    # expression — bit-identical, no extra driver action
+    qbucket = sum(
+        (1 << p) for p, plane in enumerate(planes) if _dot(qe, plane) > 0
+    )
     cand = bucketed.where(
         (F.expr(f"bit_count(bucket ^ {qbucket})") <= probe_hamming)
         & (F.col("vec_id") != query_vec_id)
     )
-    qv = spark.createDataFrame(
-        [(list(map(float, qrow["e"])),)], "qv array<double>"
-    )
+    qv = spark.createDataFrame([(qe,)], "qv array<double>")
     scored = cand.crossJoin(F.broadcast(qv)).select(
         "vec_id", F.round(_cosine_expr("e", "qv"), 6).alias("cosine")
     )
@@ -427,19 +468,86 @@ ANN_BATCH_PLANES = 6  # 64 LSH buckets
 ANN_BATCH_CAP = 200  # max vectors per bucket entering pair enumeration
 ANN_BATCH_K = 5
 
-# IVF coarse quantizer: FIXED deterministic centroids (seeded gaussians,
-# float64 literals inlined into both engines) — the trained-k-means slot
-# of a production IVF index, replaced by a reproducible quantizer so the
-# SQL twin can mirror assignment bit-exactly.
+# IVF coarse quantizer: TRAINED deterministic spherical k-means codebook
+# (seeded init, fixed Lloyd iterations, bounded deterministic sample) —
+# the production IVF shape: train on a sample, broadcast the small
+# codebook, assign every vector to its max-dot centroid. The same
+# function feeds the Spark side (codebook as broadcast DATA, not inline
+# literals) and the DuckDB twin (codebook as literals — twin perf is
+# irrelevant), so assignment is bit-identical across engines.
 IVF_CENTROIDS = 16
 IVF_NPROBE = 2
+IVF_TRAIN_SAMPLE = 2048
+IVF_TRAIN_ITERS = 8
+
+_IVF_TRAIN_CACHE: dict = {}
 
 
 def _ivf_centroid_literals(
     dim: int, n: int = IVF_CENTROIDS, seed: int = 11
 ) -> list[list[float]]:
+    """The UNTRAINED fallback quantizer (seeded gaussians) — kept as the
+    recall baseline scripts/ann_recall.py compares the trained codebook
+    against."""
     rng = np.random.Generator(np.random.Philox(key=seed))
     return [[float(x) for x in row] for row in rng.standard_normal((n, dim))]
+
+
+def ivf_trained_centroids(
+    sf_dir: str,
+    n: int = IVF_CENTROIDS,
+    sample: int = IVF_TRAIN_SAMPLE,
+    iters: int = IVF_TRAIN_ITERS,
+    seed: int = 11,
+) -> list[list[float]]:
+    """Deterministic spherical k-means codebook over the embeddings table.
+
+    Training reads a bounded deterministic sample (vec_id-sorted, strided
+    to <= ``sample`` rows) via pyarrow — no SparkSession needed, so the
+    SQL-twin generator and the Spark query share one cached codebook per
+    process. At cluster scale this is exactly how IVF codebooks are
+    built: a driver/trainer-side k-means on a sample, then the codebook
+    broadcasts to executors for assignment. Seeded init + fixed Lloyd
+    iterations + max-dot assignment (ties to the lowest centroid id);
+    empty clusters keep their previous centroid; centroids re-normalized
+    each round (spherical k-means matches the max-dot assignment metric
+    the index uses)."""
+    key = (sf_dir, n, sample, iters, seed)
+    c = _IVF_TRAIN_CACHE.get(key)
+    if c is not None:
+        return c
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vid = t.column("vec_id").to_numpy()
+    arr = t.column("embedding").combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = arr.offsets.to_numpy()
+    dim = int(offs[1] - offs[0])
+    x = flat.reshape(-1, dim)[np.argsort(vid, kind="stable")]
+    step = max(1, len(x) // sample)
+    x = x[::step][:sample]
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    cents = x[rng.choice(len(x), size=min(n, len(x)), replace=False)].copy()
+    if len(cents) < n:  # degenerate tiny table: pad with gaussians
+        pad = rng.standard_normal((n - len(cents), dim))
+        cents = np.vstack([cents, pad])
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = np.where(norms > 0, cents / np.where(norms == 0, 1, norms), cents)
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for j in range(n):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cents[j] = m / nm
+    out = [[float(v) for v in row] for row in cents]
+    _IVF_TRAIN_CACHE[key] = out
+    return out
 
 
 def _ivf_dot_structs(vec: str, cents: list[list[float]]) -> str:
@@ -456,41 +564,57 @@ def _ivf_dot_structs(vec: str, cents: list[list[float]]) -> str:
     return f"array({', '.join(parts)})"
 
 
+def ivf_assign(emb: DataFrame, spark: SparkSession, cents) -> DataFrame:
+    """Assign every vector to its max-dot centroid. The codebook ships as
+    ONE broadcast row of struct data (a dim=768 codebook would otherwise
+    be a ~12k-float Catalyst literal tree rebuilt per query); assignment
+    stays a JVM fold, no shuffle, ties to the larger centroid id (struct
+    max over (dot, id) — mirrored by the twin's list_max)."""
+    cents_df = spark.createDataFrame(
+        [([(i, c) for i, c in enumerate(cents)],)],
+        "cents array<struct<cid:int,c:array<double>>>",
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents_df))
+        .withColumn(
+            "cid",
+            F.expr(
+                "array_max(transform(cents, s -> struct("
+                "aggregate(zip_with(e, s.c, (x, y) -> x * y), 0D,"
+                " (a, x) -> a + x) AS d, s.cid AS i))).i"
+            ),
+        )
+        .drop("cents")
+    )
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
     query_vec_id: int = 0,
     k: int = 10,
     nprobe: int = IVF_NPROBE,
+    cents=None,
 ) -> DataFrame:
     """IVF-style ANN (the inverted-list scale path next to LSH): every
-    vector is assigned to its max-dot coarse centroid (fixed deterministic
-    quantizer); the query probes its ``nprobe`` best centroids and exact
-    cosine re-ranks only those lists. At cluster scale the assignment is
-    a partition key — each probe touches 1/{IVF_CENTROIDS} of the data
-    per list instead of all vectors."""
+    vector is assigned to its max-dot coarse centroid (trained spherical
+    k-means codebook, ivf_trained_centroids); the query probes its
+    ``nprobe`` best centroids and exact cosine re-ranks only those lists.
+    At cluster scale the assignment is a partition key — each probe
+    touches 1/{IVF_CENTROIDS} of the data per list instead of all
+    vectors. Recall@10 vs the brute-force baseline is recorded by
+    scripts/ann_recall.py (BENCH/ANN_RECALL.md)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
     )
-    dim = len(_emb(spark, sf_dir).select("embedding").first()[0])
-    cents = _ivf_centroid_literals(dim)
-    structs = _ivf_dot_structs("e", cents)
-    assigned = emb.withColumn("cid", F.expr(f"array_max({structs}).i"))
-    qe = [
-        float(x)
-        for x in assigned.where(F.col("vec_id") == query_vec_id)
-        .select("e")
-        .first()[0]
-    ]
+    qe = _query_vec(spark, sf_dir, query_vec_id)
+    if cents is None:
+        cents = ivf_trained_centroids(sf_dir)
+    assigned = ivf_assign(emb, spark, cents)
     # probe ids computed with the same left-fold float64 order as the
     # engines -> identical assignment arithmetic
-    dots = []
-    for i, c in enumerate(cents):
-        s = 0.0
-        for x, y in zip(qe, c):
-            s += x * y
-        dots.append((s, i))
+    dots = [(_dot(qe, c), i) for i, c in enumerate(cents)]
     probe = [i for _, i in sorted(dots, reverse=True)[:nprobe]]
     cand = assigned.where(
         F.col("cid").isin(probe) & (F.col("vec_id") != query_vec_id)
@@ -540,8 +664,7 @@ def ann_batch_topk(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
     )
-    dim = len(_emb(spark, sf_dir).select("embedding").first()[0])
-    planes = _plane_literals(dim, n_planes)
+    planes = _plane_literals(_emb_dim(spark, sf_dir), n_planes)
     bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_sql("e", planes)))
     groups = (
         bucketed.groupBy("bucket")
@@ -595,8 +718,7 @@ def dedup_embedding(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
     )
-    dim = len(_emb(spark, sf_dir).select("embedding").first()[0])
-    planes = _plane_literals(dim, n_planes)
+    planes = _plane_literals(_emb_dim(spark, sf_dir), n_planes)
     bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_sql("e", planes)))
     groups = (
         bucketed.groupBy("bucket")
@@ -718,7 +840,7 @@ def dedup_clusters(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    changed = 0
+    changed = 1
     prev_persisted = None
     for it in range(max_iters):
         nbr = (
@@ -729,18 +851,31 @@ def dedup_clusters(
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")
         )
-        stepped = labels.join(nbr, "doc_id", "left").select(
+        # keep nbr_min alongside the old label: the convergence probe is a
+        # filter on THIS frame (nbr_min < label), not a second join of new
+        # vs old labels — and a converged round skips the pointer-doubling
+        # self-join entirely. Sound because the graph is symmetric: if no
+        # vertex sees a smaller neighbor label, labels are constant per
+        # component (= the component min), so the doubling hop is a no-op.
+        stepped = labels.join(nbr, "doc_id", "left").persist()
+        changed = (
+            stepped.where(F.col("nbr_min") < F.col("label")).limit(1).count()
+        )
+        if changed == 0:
+            stepped.unpersist()
+            break
+        step1 = stepped.select(
             "doc_id",
             F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
                 "label"
             ),
         )
         # pointer doubling: follow the label one hop through the label map
-        lmap = stepped.select(
+        lmap = step1.select(
             F.col("doc_id").alias("_lkey"), F.col("label").alias("_lval")
         )
         new_labels = (
-            stepped.join(lmap, stepped["label"] == lmap["_lkey"], "left")
+            step1.join(lmap, step1["label"] == lmap["_lkey"], "left")
             .select(
                 "doc_id",
                 F.least(
@@ -749,23 +884,15 @@ def dedup_clusters(
             )
         )
         if (it + 1) % 3 == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        # the convergence probe doubles as the round's materializing action
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+            new_labels.count()  # materialize so stepped can be released
         if prev_persisted is not None:
             prev_persisted.unpersist()
+        stepped.unpersist()
         prev_persisted = new_labels
         labels = new_labels
-        if changed == 0:
-            break
     edges.unpersist()
     if changed != 0:
         raise RuntimeError(
