@@ -585,6 +585,60 @@ FROM mins ORDER BY doc_id
 """
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful exact-dedup driven END TO END through
+    Structured Streaming: readStream over the documents parquet ->
+    applyInPandasWithState dedup (sha-prefix-sharded bounded state) ->
+    parquet sink, availableNow trigger, then read the sink back. The
+    within-batch survivor is deterministic (min doc_id), so the batch
+    oracle is row_number() over (partition by sha order by doc_id)."""
+    import tempfile
+
+    from ferret_spark.streaming import streaming_dedup_filter
+
+    import os
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    base = tempfile.mkdtemp(prefix="ferret_stream_dedup_")
+    # the streaming file source wants a DIRECTORY; stage the (possibly
+    # single-file) table into one via symlink
+    src = f"{base}/src"
+    os.makedirs(src)
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        f"{src}/documents.parquet",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    dedup = streaming_dedup_filter(stream, "text", order_col="doc_id")
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select("doc_id", F.col("_sha").alias("sha"))
+        .orderBy("doc_id")
+    )
+
+
+_SQL_STREAM_DEDUP = """
+SELECT doc_id, sha FROM (
+  SELECT doc_id, sha256(text) AS sha,
+         row_number() OVER (PARTITION BY sha256(text)
+                            ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def _q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ferret_spark.pipeline import keywords_tfidf
 
@@ -645,6 +699,113 @@ scored AS (
   WHERE p.term = 'spark' AND doc.lang BETWEEN 'de' AND 'es'
 )"""
         + _RANKED.format(k=k)
+    )
+
+
+def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-field highlighting of the exact phrase "table hash" through
+    the faithful searcher_highlight port (match vector -> overlap-only
+    compaction -> tag insertion at token offsets). Docs selected with a
+    JVM adjacency predicate; the highlighter itself runs as an
+    Arrow-batched UDF (per-doc text processing). The SQL twin rebuilds
+    the tagged string from token positions — the corpus is single-space
+    lowercase, so token rejoin reproduces the original text exactly."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = r"split(text, ' ')"
+    has_phrase = F.expr(
+        f"exists(sequence(0, size({toks}) - 2),"
+        f" i -> {toks}[i] = 'table' AND {toks}[i + 1] = 'hash')"
+    )
+
+    def _hl(texts):
+        from ferret_spark.highlight import highlight
+        from ferret_spark.query import PhraseQuery
+
+        q = PhraseQuery.of("text", ["table", "hash"])
+        return texts.map(
+            lambda t: highlight(
+                "whitespace", q, t, field="text",
+                excerpt_length=1_000_000, num_excerpts=1,
+            )[0]
+        )
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pyspark cannot resolve pd.Series from this module's globals
+    hl = F.pandas_udf(_hl, "string")
+
+    return (
+        d.where(has_phrase)
+        .select("doc_id", hl(F.col("text")).alias("excerpt"))
+        .orderBy("doc_id")
+    )
+
+
+def _sql_highlight(t1: str = "table", t2: str = "hash") -> str:
+    return (
+        _PRELUDE
+        + f""",
+starts AS (
+  SELECT a.doc_id, a.pos AS p
+  FROM tok2 a JOIN tok2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+)
+SELECT t.doc_id,
+       string_agg(
+         CASE WHEN s1.p IS NOT NULL THEN '<b>' || t.term
+              WHEN s2.p IS NOT NULL THEN t.term || '</b>'
+              ELSE t.term END, ' ' ORDER BY t.pos) AS excerpt
+FROM tok2 t
+LEFT JOIN starts s1 ON s1.doc_id = t.doc_id AND s1.p = t.pos
+LEFT JOIN starts s2 ON s2.doc_id = t.doc_id AND s2.p = t.pos - 1
+WHERE t.doc_id IN (SELECT doc_id FROM starts)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+    )
+
+
+def _q_sorted_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field sort with a reverse flag: hits of text:scan ordered by
+    (lang asc, n_chars desc, doc_id asc) through sorting.search_sorted
+    (typed casts + reverse handling)."""
+    from ferret_spark.query import TermQuery
+    from ferret_spark.sorting import SortField, search_sorted
+
+    idx = _get_index(spark, sf_dir)
+    hits = search_sorted(
+        idx,
+        TermQuery(field="text", term="scan"),
+        [SortField("lang", "string"), SortField("n_chars", "integer", reverse=True)],
+        k=15,
+    )
+    keyed = hits.join(
+        idx.docs.select("doc_id", "lang", "n_chars"), "doc_id", "left"
+    )
+    order = [F.asc_nulls_last("lang"), F.desc_nulls_first("n_chars"),
+             F.asc("doc_id")]
+    w = Window.orderBy(*order)
+    return (
+        keyed.orderBy(*order)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "doc_id",
+            "lang",
+            "n_chars",
+        )
+    )
+
+
+def _sql_sorted_multi(k: int = 15) -> str:
+    return (
+        _PRELUDE
+        + f""",
+hits AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'scan')
+SELECT row_number() OVER (ORDER BY d.lang ASC, d.n_chars DESC,
+                          d.doc_id ASC)::BIGINT AS rank,
+       d.doc_id, d.lang, d.n_chars
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY rank LIMIT {k}
+"""
     )
 
 
@@ -1051,9 +1212,11 @@ SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_doc_id,
 FROM documents GROUP BY sha256(text) ORDER BY canonical_doc_id
 """
 
-def _sql_ngram_jaccard() -> str:
+def _sql_ngram_jaccard(shingle_df_cap: int | None = None) -> str:
     from ferret_spark.pipeline import SHINGLE_DF_CAP
 
+    if shingle_df_cap is not None:
+        SHINGLE_DF_CAP = shingle_df_cap  # noqa: N806 — test cap override
     return (
         _PIPE_PRELUDE
         + f""",
@@ -1082,7 +1245,7 @@ ORDER BY doc_a, doc_b
     )
 
 
-def _sql_minhash_lsh() -> str:
+def _sql_minhash_lsh(bucket_cap: int | None = None) -> str:
     from ferret_spark.pipeline import (
         LSH_BANDS,
         LSH_BUCKET_CAP,
@@ -1091,6 +1254,8 @@ def _sql_minhash_lsh() -> str:
         minhash_coeffs,
     )
 
+    if bucket_cap is not None:
+        LSH_BUCKET_CAP = bucket_cap  # noqa: N806 — test cap override
     a, b = minhash_coeffs()
     rpb = MINHASH_PERMS // LSH_BANDS
     perms = ", ".join(
@@ -1344,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_token_count": _pipe("text_token_count"),
         "pp_fingerprint": _pipe("text_fingerprint"),
         "pp_multimodal_features": _pipe("multimodal_features"),
+        "pp_stream_dedup": _q_stream_dedup,
         "ft_term": _q_term("spark"),
         "ft_term_hot": _q_term("batch"),
         "ft_bool_and": _q_bool("and", "scan", "join"),
@@ -1358,6 +1524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_tfidf_term": _q_tfidf_term,
         "ft_seg_term": _q_seg_term,
         "ft_sorted_nchars": _q_sorted_nchars,
+        "ft_sorted_multi": _q_sorted_multi,
+        "ft_highlight": _q_highlight,
         "ft_scan": _q_scan,
         "ft_count_stats": _q_count_stats,
         "ft_fql": _q_fql,
@@ -1391,6 +1559,7 @@ def oracle_sql() -> dict[str, str]:
         "pp_token_count": _SQL_TOKEN_COUNT,
         "pp_fingerprint": _SQL_FINGERPRINT,
         "pp_multimodal_features": _SQL_MULTIMODAL,
+        "pp_stream_dedup": _SQL_STREAM_DEDUP,
         "ft_term": _sql_term("spark"),
         "ft_term_hot": _sql_term("batch"),
         "ft_bool_and": _sql_bool_and("scan", "join"),
@@ -1412,6 +1581,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_tfidf_term": _sql_tfidf_term("scan"),
         "ft_seg_term": _sql_term("spark"),
         "ft_sorted_nchars": _sql_sorted_nchars(),
+        "ft_sorted_multi": _sql_sorted_multi(),
+        "ft_highlight": _sql_highlight(),
         "ft_scan": _sql_scan(),
         "ft_count_stats": _sql_count_stats(),
         "ft_fql": _sql_fql(),

@@ -51,6 +51,53 @@ MINHASH_P = (1 << 40) - 87
 SHINGLE_DF_CAP = 500
 LSH_BUCKET_CAP = 200
 
+# --- cap-drop telemetry -----------------------------------------------------
+# Every capped op counts what its hot-key cap dropped via an Observation
+# (a CollectMetrics node riding the SAME action — no extra job). At 100 TB
+# a skewed corpus could otherwise silently lose most of its candidate
+# pairs; the counts make the truncation visible.
+
+_DROP_OBS: dict = {}
+
+
+def _observe_cap(df: DataFrame, op: str, size_col: str, cap: int) -> DataFrame:
+    """Attach drop metrics to the pre-cap bucket frame: number of
+    over-cap keys and total members inside them. Read AFTER consuming the
+    op's result with cap_drop_stats(op)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    _DROP_OBS[op] = obs
+    sz = F.size(F.col(size_col))
+    return df.observe(
+        obs,
+        F.coalesce(
+            F.sum((sz > cap).cast("long")), F.lit(0).cast("long")
+        ).alias("dropped_keys"),
+        F.coalesce(
+            F.sum(F.when(sz > cap, sz.cast("long"))), F.lit(0).cast("long")
+        ).alias("dropped_members"),
+    )
+
+
+def cap_drop_stats(op: str):
+    """Drop counts recorded by ``op``'s latest run, or None if the op has
+    not been invoked. Blocks until the op's action has completed — call
+    after consuming the result. Logs a warning when anything was
+    dropped."""
+    obs = _DROP_OBS.get(op)
+    if obs is None:
+        return None
+    d = dict(obs.get)
+    if d.get("dropped_keys"):
+        import logging
+
+        logging.getLogger("ferret_spark.pipeline").warning(
+            "%s: hot-key cap dropped %d keys (%d members) from candidate "
+            "generation", op, d["dropped_keys"], d["dropped_members"]
+        )
+    return d
+
 
 def minhash_coeffs(n: int = MINHASH_PERMS, seed: int = 7):
     """Deterministic (a_i, b_i) for the n universal-hash permutations."""
@@ -216,11 +263,10 @@ def dedup_ngram_jaccard(
     with map-side partial aggregation, never a self-join."""
     ex = _shingle_rows(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.first("n_sh").alias("n_sh"))
-    buckets = (
-        ex.groupBy("s")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= shingle_df_cap))
-    )
+    buckets = _observe_cap(
+        ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids")),
+        "dedup_ngram_jaccard", "ids", shingle_df_cap,
+    ).where((F.size("ids") >= 2) & (F.size("ids") <= shingle_df_cap))
     pairs = (
         buckets.select(
             F.explode(
@@ -311,11 +357,12 @@ def dedup_minhash_lsh(
     # bucket groupBy instead of a self-join: ONE shuffle on the bucket key,
     # pair enumeration inside each (capped) bucket row — the signatures are
     # computed once, and no M^2 join blowup is possible by construction
-    buckets = (
-        bands.groupBy("band", "bhash")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
-    )
+    buckets = _observe_cap(
+        bands.groupBy("band", "bhash").agg(
+            F.sort_array(F.collect_set("doc_id")).alias("ids")
+        ),
+        "dedup_minhash_lsh", "ids", bucket_cap,
+    ).where((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
     pairs = (
         buckets.select(
             F.explode(
@@ -666,11 +713,12 @@ def ann_batch_topk(
     )
     planes = _plane_literals(_emb_dim(spark, sf_dir), n_planes)
     bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_sql("e", planes)))
-    groups = (
-        bucketed.groupBy("bucket")
-        .agg(F.collect_list(F.struct("vec_id", "e")).alias("vs"))
-        .where((F.size("vs") >= 2) & (F.size("vs") <= bucket_cap))
-    )
+    groups = _observe_cap(
+        bucketed.groupBy("bucket").agg(
+            F.collect_list(F.struct("vec_id", "e")).alias("vs")
+        ),
+        "ann_batch_topk", "vs", bucket_cap,
+    ).where((F.size("vs") >= 2) & (F.size("vs") <= bucket_cap))
     pairs = groups.select(
         F.explode(
             F.expr(
@@ -720,11 +768,12 @@ def dedup_embedding(
     )
     planes = _plane_literals(_emb_dim(spark, sf_dir), n_planes)
     bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_sql("e", planes)))
-    groups = (
-        bucketed.groupBy("bucket")
-        .agg(F.collect_list(F.struct("vec_id", "e")).alias("vs"))
-        .where((F.size("vs") >= 2) & (F.size("vs") <= bucket_cap))
-    )
+    groups = _observe_cap(
+        bucketed.groupBy("bucket").agg(
+            F.collect_list(F.struct("vec_id", "e")).alias("vs")
+        ),
+        "dedup_embedding", "vs", bucket_cap,
+    ).where((F.size("vs") >= 2) & (F.size("vs") <= bucket_cap))
     pairs = groups.select(
         F.explode(
             F.expr(

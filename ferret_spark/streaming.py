@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 from ferret_spark.ind import FerretIndex
 
 
-def streaming_dedup_filter(stream_df: DataFrame, text_col: str = "text") -> DataFrame:
+def streaming_dedup_filter(
+    stream_df: DataFrame, text_col: str = "text", order_col: str | None = None
+) -> DataFrame:
     """Streaming EXACT-dedup over an unbounded document stream — the
     custom stateful operator the training-pipeline brief asks for,
     built on applyInPandasWithState: state is keyed by a 16-bit prefix
@@ -33,7 +35,12 @@ def streaming_dedup_filter(stream_df: DataFrame, text_col: str = "text") -> Data
     partitions), each key's state holds the set of full hashes seen so
     far, and only first-seen documents are emitted. Exactly the shape a
     100 TB dedup-on-ingest needs: per-key state is the only thing that
-    grows, and it shards across executors with the state store."""
+    grows, and it shards across executors with the state store.
+
+    ``order_col`` makes the WITHIN-batch survivor deterministic (the
+    batch's rows sort by it before first-wins dedup — e.g. min doc_id);
+    without it the survivor is arrival order, which depends on shuffle
+    read order. Cross-batch the earlier batch always wins (state)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -49,18 +56,17 @@ def streaming_dedup_filter(stream_df: DataFrame, text_col: str = "text") -> Data
 
     def dedup(key, pdfs, state):
         seen = set(state.get[0]) if state.exists else set()
-        out = []
-        for pdf in pdfs:
-            fresh = ~pdf["_sha"].isin(seen)
-            kept = pdf[fresh]
-            # within-batch duplicates: keep first occurrence only
-            kept = kept[~kept["_sha"].duplicated()]
-            seen.update(kept["_sha"].tolist())
-            if len(kept):
-                out.append(kept.drop(columns=["_bucket"]))
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if order_col is not None:
+            pdf = pdf.sort_values(order_col, kind="stable")
+        kept = pdf[~pdf["_sha"].isin(seen)]
+        # within-batch duplicates: keep first occurrence (in order_col
+        # order when given, else arrival order)
+        kept = kept[~kept["_sha"].duplicated()]
+        seen.update(kept["_sha"].tolist())
         state.update((list(seen),))
-        if out:
-            yield pd.concat(out)
+        if len(kept):
+            yield kept.drop(columns=["_bucket"])
 
     return hashed.groupBy("_bucket").applyInPandasWithState(
         dedup,
