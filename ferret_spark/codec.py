@@ -201,9 +201,17 @@ def encode_posting_list(
     return encode_posting_list_flat(doc_ids, tfs, pos_flat, doc_lens)
 
 
-def decode_posting_list(row: dict, with_positions: bool = True):
-    """-> (doc_ids int64, tfs int64, positions list[np.ndarray] | None,
-    doc_lens int64 | None)."""
+def decode_posting_list(row: dict, with_positions=True):
+    """-> (doc_ids int64, tfs int64, positions, doc_lens int64 | None).
+
+    ``with_positions``:
+      - False: positions is None
+      - True:  positions is list[np.ndarray], one sorted array per doc
+      - "flat": positions is (pos_flat int64, bounds int64) — doc i's
+        positions are pos_flat[bounds[i]:bounds[i+1]].  The flat form is
+        the hot-path shape: per-doc delta cumsums are vectorized as ONE
+        global cumsum minus the running total before each doc (no Python
+        loop over the posting list)."""
     doc_arr = np.frombuffer(row["doc_bin"], dtype=np.uint8)
     tf_arr = np.frombuffer(row["tf_bin"], dtype=np.uint8)
     pos_arr = np.frombuffer(row["pos_bin"], dtype=np.uint8)
@@ -230,15 +238,41 @@ def decode_posting_list(row: dict, with_positions: bool = True):
                 pos_arr[bm["pos_off"] : bm["pos_off"] + bm["pos_len"]]
             ).astype(np.int64)
             bounds = np.concatenate(([0], np.cumsum(tfs)))
-            for i in range(len(tfs)):
-                seg = flat[bounds[i] : bounds[i + 1]]
-                pos_out.append(np.cumsum(seg))
+            # per-doc cumsum of position deltas, vectorized: global
+            # cumsum minus the total accumulated before each doc's start
+            fc = np.cumsum(flat)
+            if len(tfs) > 1:
+                base = np.concatenate(([0], fc[bounds[1:-1] - 1]))
+            else:
+                base = np.zeros(1, dtype=np.int64)
+            pos_out.append(fc - np.repeat(base, tfs))
     doc_ids = np.concatenate(ids_out)
     tfs = np.concatenate(tfs_out)
+    positions = None
+    if with_positions:
+        if not pos_out:
+            # positions-less rows (keyword fields): empty list / empty
+            # flat pair, NOT per-doc empties — re-encode paths rely on
+            # falsy `pos` meaning "no position stream"
+            positions = (
+                (np.empty(0, dtype=np.int64), np.zeros(1, dtype=np.int64))
+                if with_positions == "flat"
+                else []
+            )
+        else:
+            pos_flat = np.concatenate(pos_out)
+            gbounds = np.concatenate(([0], np.cumsum(tfs)))
+            if with_positions == "flat":
+                positions = (pos_flat, gbounds)
+            else:
+                positions = [
+                    pos_flat[gbounds[i] : gbounds[i + 1]]
+                    for i in range(len(tfs))
+                ]
     return (
         doc_ids,
         tfs,
-        (pos_out if with_positions else None),
+        positions,
         (np.concatenate(dl_out) if has_dl else None),
     )
 

@@ -47,7 +47,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["sloppy_freq2_batch", "exact_freqk_batch"]
+__all__ = [
+    "sloppy_freq2_batch",
+    "sloppy_freq2_flat",
+    "exact_freqk_batch",
+    "exact_freqk_flat",
+]
 
 _BIG = np.int64(1) << 33  # doc bias: positions are far below 2^33
 
@@ -71,14 +76,23 @@ def sloppy_freq2_batch(arrs_a, arrs_b, off_a: int, off_b: int, slop: int):
     oracle.sloppy_phrase_freq run per document: one window contribution
     per chain event, accumulated in the same chronological order, same
     float64 arithmetic."""
-    n = len(arrs_a)
+    fa, la = _flatten(arrs_a)
+    fb, lb = _flatten(arrs_b)
+    return sloppy_freq2_flat(fa, la, fb, lb, off_a, off_b, slop)
+
+
+def sloppy_freq2_flat(fa, la, fb, lb, off_a: int, off_b: int, slop: int):
+    """Flat-input form of sloppy_freq2_batch: ``fa``/``fb`` are the two
+    slots' position values concatenated across rows, ``la``/``lb`` the
+    per-row lengths (same number of rows)."""
+    n = len(la)
     out = np.zeros(n, dtype=np.float64)
     if n == 0:
         return out
-    fa, la = _flatten(arrs_a)
-    fb, lb = _flatten(arrs_b)
-    fa = fa - np.int64(off_a)
-    fb = fb - np.int64(off_b)
+    fa = np.asarray(fa, dtype=np.int64) - np.int64(off_a)
+    fb = np.asarray(fb, dtype=np.int64) - np.int64(off_b)
+    la = np.asarray(la, dtype=np.int64)
+    lb = np.asarray(lb, dtype=np.int64)
     sa = np.concatenate(([0], np.cumsum(la)))
     sb = np.concatenate(([0], np.cumsum(lb)))
     docs = np.arange(n, dtype=np.int64)
@@ -149,10 +163,24 @@ def exact_freqk_batch(slot_arrs, offsets):
     n = len(slot_arrs[0]) if k else 0
     if n == 0:
         return np.zeros(0, dtype=np.float64)
+    pairs = [_flatten(slot_arrs[j]) for j in range(k)]
+    return exact_freqk_flat(
+        [p[0] for p in pairs], [p[1] for p in pairs], offsets
+    )
+
+
+def exact_freqk_flat(flats_in, lens_in, offsets):
+    """Flat-input form of exact_freqk_batch: per slot j, ``flats_in[j]``
+    holds the positions concatenated across rows and ``lens_in[j]`` the
+    per-row lengths."""
+    k = len(flats_in)
+    n = len(lens_in[0]) if k else 0
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
     flats, row_parts = [], []
     for j in range(k):
-        fv, lens = _flatten(slot_arrs[j])
-        flats.append(fv - np.int64(offsets[j]))
+        lens = np.asarray(lens_in[j], dtype=np.int64)
+        flats.append(np.asarray(flats_in[j], dtype=np.int64) - np.int64(offsets[j]))
         row_parts.append(np.repeat(np.arange(n, dtype=np.int64), lens))
     vals = np.concatenate(flats)
     rows = np.concatenate(row_parts)

@@ -627,63 +627,21 @@ class _SegEval:
         if not q.positions:
             return mask, score
         field = q.field
+        # idf_sum accumulates over GLOBAL dfs in slot/alt order (same
+        # float64 add sequence as the oracle)
         idf_sum = 0.0
-        slot_pos: list[dict[int, np.ndarray]] = []
-        slot_dls: dict[int, int] = {}
-        for off, alts in q.positions:
-            m: dict[int, list] = {}
-            any_alive = False
+        for _, alts in q.positions:
             for t in alts:
                 df = self.dfs.get((field, t), 0)
                 if df > 0:
                     idf_sum += bm25_idf(df, self.n_docs)
-                dec = self.decoded(field, t, with_positions=True)
-                if dec is None:
-                    continue
-                any_alive = True
-                local, tfs, pos, dls = dec
-                bounds = np.concatenate(([0], np.cumsum(tfs)))
-                for i, d in enumerate(local):
-                    plist = pos[i]
-                    if d in m:
-                        m[d].append(plist)
-                    else:
-                        m[d] = [plist]
-                    slot_dls[int(d)] = int(dls[i])
-            if not any_alive:
-                return self._zero()
-            slot_pos.append(
-                {
-                    d: (np.sort(np.concatenate(ls)) if len(ls) > 1 else ls[0])
-                    for d, ls in m.items()
-                }
-            )
-        cand = set(slot_pos[0].keys())
-        for m in slot_pos[1:]:
-            cand &= m.keys()
-        if not cand:
+        out = self._phrase_freqs_flat(q)
+        if out is None:
+            out = self._phrase_freqs_dict(q)
+        docs, freq_arr, dl = out
+        if docs.size == 0:
             return mask, score
-        offsets = [off for off, _ in q.positions]
-        repeats = _phrase_repeats(q)
         avgdl = self.avgdl[field]
-        if len(q.positions) == 1:
-            for d in cand:
-                freq = float(len(slot_pos[0][d]))
-                dl = slot_dls[int(d)]
-                s = (
-                    q.boost
-                    * idf_sum
-                    * (freq * (K1 + 1.0))
-                    / (freq + K1 * (1.0 - B + B * dl / avgdl))
-                )
-                mask[d] = True
-                score[d] = s
-            return mask, score
-        docs = np.fromiter(sorted(cand), dtype=np.int64, count=len(cand))
-        freq_arr = _phrase_freq_vec(q, slot_pos, offsets, repeats, docs)
-        dl = np.fromiter(
-            (slot_dls[int(d)] for d in docs), dtype=np.float64, count=len(docs)
-        )
         nz = freq_arr > 0.0
         f = freq_arr[nz]
         dd = docs[nz]
@@ -698,6 +656,128 @@ class _SegEval:
         mask[dd] = True
         score[dd] = s
         return mask, score
+
+    def _phrase_freqs_flat(self, q: PhraseQuery):
+        """Vectorized phrase frequencies over this segment:
+        (cand_local_ids, freqs, doc_lens) — or None when a slot has
+        multiple segment-live alternatives (the rare multi-term-position
+        case keeps the dict path).
+
+        No per-posting Python anywhere: flat position decode (one cumsum
+        per posting list), candidate set via sorted np.intersect1d, the
+        candidates' position runs extracted with a ragged gather, then
+        the whole-segment batch kernels (phrase_np) score every doc at
+        once.  Only >=3-slot sloppy / repeated-term phrases walk per doc
+        (genuinely sequential semantics)."""
+        from ferret_spark.phrase_np import exact_freqk_flat, sloppy_freq2_flat
+
+        field = q.field
+        empty = (np.empty(0, dtype=np.int64), np.zeros(0), np.zeros(0))
+        decs = []
+        for _, alts in q.positions:
+            live = [
+                d
+                for d in (
+                    self.decoded(field, t, with_positions="flat") for t in alts
+                )
+                if d is not None
+            ]
+            if not live:
+                return empty
+            if len(live) > 1:
+                return None
+            decs.append(live[0])
+        cand = decs[0][0]
+        for d in decs[1:]:
+            cand = np.intersect1d(cand, d[0], assume_unique=True)
+        if cand.size == 0:
+            return empty
+        offsets = [off for off, _ in q.positions]
+        repeats = _phrase_repeats(q)
+        k = len(decs)
+        flats, lens = [], []
+        dl = None
+        for j, (local, tfs, (pflat, bounds), dls) in enumerate(decs):
+            idx = np.searchsorted(local, cand)
+            ln = tfs[idx]
+            starts = bounds[idx]
+            total = int(ln.sum())
+            out_starts = np.concatenate(([0], np.cumsum(ln)[:-1]))
+            gidx = np.repeat(starts - out_starts, ln) + np.arange(
+                total, dtype=np.int64
+            )
+            flats.append(pflat[gidx])
+            lens.append(ln)
+            if j == 0:
+                dl = dls[idx].astype(np.float64)
+        if k == 1:
+            freq = lens[0].astype(np.float64)
+        elif q.slop == 0:
+            freq = exact_freqk_flat(flats, lens, offsets)
+        elif k == 2 and not repeats:
+            freq = sloppy_freq2_flat(
+                flats[0], lens[0], flats[1], lens[1],
+                offsets[0], offsets[1], q.slop,
+            )
+        else:
+            freq = np.zeros(len(cand), dtype=np.float64)
+            bnds = [np.concatenate(([0], np.cumsum(l))) for l in lens]
+            for i in range(len(cand)):
+                adjusted = [
+                    (flats[j][bnds[j][i] : bnds[j][i + 1]] - offsets[j]).tolist()
+                    for j in range(k)
+                ]
+                freq[i] = sloppy_phrase_freq(adjusted, offsets, q.slop, repeats)
+        return cand, freq, dl
+
+    def _phrase_freqs_dict(self, q: PhraseQuery):
+        """Dict-built phrase frequencies — the multi-alternative-slot
+        path (per-doc position-list merge across a slot's terms)."""
+        field = q.field
+        empty = (np.empty(0, dtype=np.int64), np.zeros(0), np.zeros(0))
+        slot_pos: list[dict[int, np.ndarray]] = []
+        slot_dls: dict[int, int] = {}
+        for _, alts in q.positions:
+            m: dict[int, list] = {}
+            for t in alts:
+                dec = self.decoded(field, t, with_positions=True)
+                if dec is None:
+                    continue
+                local, tfs, pos, dls = dec
+                for i, d in enumerate(local):
+                    plist = pos[i]
+                    if d in m:
+                        m[d].append(plist)
+                    else:
+                        m[d] = [plist]
+                    slot_dls[int(d)] = int(dls[i])
+            if not m:
+                return empty
+            slot_pos.append(
+                {
+                    d: (np.sort(np.concatenate(ls)) if len(ls) > 1 else ls[0])
+                    for d, ls in m.items()
+                }
+            )
+        cand = set(slot_pos[0].keys())
+        for m in slot_pos[1:]:
+            cand &= m.keys()
+        if not cand:
+            return empty
+        offsets = [off for off, _ in q.positions]
+        repeats = _phrase_repeats(q)
+        docs = np.fromiter(sorted(cand), dtype=np.int64, count=len(cand))
+        if len(q.positions) == 1:
+            freq_arr = np.fromiter(
+                (float(len(slot_pos[0][int(d)])) for d in docs),
+                dtype=np.float64, count=len(docs),
+            )
+        else:
+            freq_arr = _phrase_freq_vec(q, slot_pos, offsets, repeats, docs)
+        dl = np.fromiter(
+            (slot_dls[int(d)] for d in docs), dtype=np.float64, count=len(docs)
+        )
+        return docs, freq_arr, dl
 
 
 def _phrase_freq_vec(q, slot_pos, offsets, repeats, docs):
@@ -877,43 +957,17 @@ class _SegEvalTFIDF(_SegEval):
 
     def _phrase_freqs_local(self, q: PhraseQuery):
         """doc(local) -> phrase_freq, plus dl map (mirrors oracle)."""
-        field = q.field
-        slot_pos: list[dict[int, np.ndarray]] = []
-        dls_map: dict[int, int] = {}
-        for off, alts in q.positions:
-            m: dict[int, list] = {}
-            for t in alts:
-                dec = self.decoded(field, t, with_positions=True)
-                if dec is None:
-                    continue
-                local, tfs, pos, dls = dec
-                for i, d in enumerate(local):
-                    m.setdefault(int(d), []).append(pos[i])
-                    dls_map[int(d)] = int(dls[i])
-            if not m:
-                return {}, {}
-            slot_pos.append(
-                {
-                    d: (np.sort(np.concatenate(ls)) if len(ls) > 1 else ls[0])
-                    for d, ls in m.items()
-                }
-            )
-        if len(q.positions) == 1:
-            return (
-                {d: float(len(ps)) for d, ps in slot_pos[0].items()},
-                dls_map,
-            )
-        cand = set(slot_pos[0].keys())
-        for m in slot_pos[1:]:
-            cand &= m.keys()
-        offsets = [off for off, _ in q.positions]
-        repeats = _phrase_repeats(q)
-        docs = np.fromiter(sorted(cand), dtype=np.int64, count=len(cand))
-        freq_arr = _phrase_freq_vec(q, slot_pos, offsets, repeats, docs)
+        out = self._phrase_freqs_flat(q)
+        if out is None:
+            out = self._phrase_freqs_dict(q)
+        docs, freq_arr, dl = out
         freqs = {
             int(d): float(f)
             for d, f in zip(docs.tolist(), freq_arr.tolist())
             if f > 0.0
+        }
+        dls_map = {
+            int(d): int(x) for d, x in zip(docs.tolist(), dl.tolist())
         }
         return freqs, dls_map
 
