@@ -25,22 +25,41 @@ sorted lists A and B:
     mirrors the walk's ``last_pos = 0`` initialisation, reachable when
     leading skip-slots make every adjusted position negative.
 
-Event values strictly increase and the event list strictly alternates, so
-the whole batch advances in lock-step rounds: one round = one numpy
-searchsorted over doc-biased flat arrays for every still-alive document.
-No per-document Python loop; round count = the longest chain in the
-batch.  Equivalence with the heap walk is property-tested exhaustively
-against oracle.sloppy_phrase_freq (tests/test_phrase_np.py).
+The chain itself admits a fully STATIC characterisation — no sequential
+walk at all — over the merged value order with tied values collapsed into
+"AB" elements (a value present in both lists):
+
+  - every AB element at or after m1 is an event with window 0 (its
+    predecessor in the other list is itself);
+  - scanning elements after m1, a "wanted list" w flips at every event
+    (events strictly alternate lists; AB elements satisfy either want);
+  - within a maximal run of same-list pure elements, only the leader can
+    fire (after it fires w flips away; if it doesn't, w never matches),
+    and the run's exit want is other(run list) EITHER WAY — so the want
+    entering any run is determined by the nearest preceding pure run
+    (XOR the parity of intervening AB elements, each of which flips w),
+    or by other(list(m1)) at the head of the row;
+  - a pure event's window is its value minus the value of the nearest
+    preceding AB-or-other-list element (a forward-fill).
+
+Everything above is index arithmetic over the sorted merged arrays:
+O(n log n) with no data-dependent loops, independent of how hot the
+terms are.  Equivalence with the heap walk is property-tested
+exhaustively against oracle.sloppy_phrase_freq, including cross-list
+ties, negative adjusted positions, and hot documents with hundreds of
+occurrences per slot (tests/test_phrase_np.py).
 
 The exact (slop == 0) k-slot frequency is the size of the k-way
 intersection of offset-adjusted position sets; since positions are
 distinct within a slot, an adjusted value matched by all k slots forms a
 merged-order group of exactly k equal elements — a flat vectorized count.
 
-All kernels take *sequences of per-row position arrays* and return one
-float64 freq per row, so one call scores an entire Arrow batch (the
-declarative planner) or an entire segment's candidate set (the fused
-evaluator).  Rows where either slot is empty score 0.
+All kernels take flat (values, per-row lengths) pairs or sequences of
+per-row arrays and return one float64 freq per row, so one call scores an
+entire Arrow batch (the declarative planner) or an entire segment's
+candidate set (the fused evaluator).  Rows where either slot is empty
+score 0.  Window contributions accumulate in chronological (merged-order)
+sequence, so the float64 sums are bit-identical to the reference walk.
 """
 
 from __future__ import annotations
@@ -53,8 +72,6 @@ __all__ = [
     "exact_freqk_batch",
     "exact_freqk_flat",
 ]
-
-_BIG = np.int64(1) << 33  # doc bias: positions are far below 2^33
 
 
 def _flatten(arrs):
@@ -73,9 +90,7 @@ def sloppy_freq2_batch(arrs_a, arrs_b, off_a: int, off_b: int, slop: int):
     ``arrs_a[i]`` / ``arrs_b[i]`` are the sorted position arrays of the
     two phrase slots in document i (raw token positions; slot offsets are
     applied here).  Returns float64 per-document freqs, bit-identical to
-    oracle.sloppy_phrase_freq run per document: one window contribution
-    per chain event, accumulated in the same chronological order, same
-    float64 arithmetic."""
+    oracle.sloppy_phrase_freq run per document."""
     fa, la = _flatten(arrs_a)
     fb, lb = _flatten(arrs_b)
     return sloppy_freq2_flat(fa, la, fb, lb, off_a, off_b, slop)
@@ -84,7 +99,8 @@ def sloppy_freq2_batch(arrs_a, arrs_b, off_a: int, off_b: int, slop: int):
 def sloppy_freq2_flat(fa, la, fb, lb, off_a: int, off_b: int, slop: int):
     """Flat-input form of sloppy_freq2_batch: ``fa``/``fb`` are the two
     slots' position values concatenated across rows, ``la``/``lb`` the
-    per-row lengths (same number of rows)."""
+    per-row lengths (same number of rows).  Static event formulation —
+    see the module docstring."""
     n = len(la)
     out = np.zeros(n, dtype=np.float64)
     if n == 0:
@@ -93,63 +109,164 @@ def sloppy_freq2_flat(fa, la, fb, lb, off_a: int, off_b: int, slop: int):
     fb = np.asarray(fb, dtype=np.int64) - np.int64(off_b)
     la = np.asarray(la, dtype=np.int64)
     lb = np.asarray(lb, dtype=np.int64)
-    sa = np.concatenate(([0], np.cumsum(la)))
-    sb = np.concatenate(([0], np.cumsum(lb)))
-    docs = np.arange(n, dtype=np.int64)
-    ka = fa + np.repeat(docs, la) * _BIG  # globally sorted doc-biased keys
-    kb = fb + np.repeat(docs, lb) * _BIG
-
     valid = (la > 0) & (lb > 0)
-    d = docs[valid]
-    if d.size == 0:
+    if not valid.any():
         return out
-    a0 = fa[sa[d]]
-    b0 = fb[sb[d]]
-    # event 1: max of first elements; tie -> larger-offset slot's list
-    m = np.maximum(a0, b0)
-    tie_list = np.int8(1 if off_b > off_a else 0)
-    lst = np.where(a0 > b0, np.int8(0), np.where(b0 > a0, np.int8(1), tie_list))
 
-    def _pred(flat, keys, which_docs, vals):
-        """largest element <= vals (inclusive) within each doc's list."""
-        i = np.searchsorted(keys, which_docs * _BIG + vals, side="right") - 1
-        return flat[i]
+    # merge the two per-row-sorted streams by RANK instead of sorting:
+    # each element's merged position = its own local index + the count of
+    # other-list elements before it (ties order A before B, the heap-key
+    # (value, offset) order) — two doc-biased searchsorteds + scatters,
+    # no O(n log n) lexsort over the batch
+    big_bias = np.int64(1) << 33
+    ra = np.repeat(np.arange(n, dtype=np.int64), la)
+    rb = np.repeat(np.arange(n, dtype=np.int64), lb)
+    sa0 = np.concatenate(([0], np.cumsum(la)))[:-1]
+    sb0 = np.concatenate(([0], np.cumsum(lb)))[:-1]
+    ka = fa + ra * big_bias
+    kb = fb + rb * big_bias
+    base = np.concatenate(([0], np.cumsum(la + lb)))[:-1]
+    ia_loc = np.arange(len(fa), dtype=np.int64) - np.repeat(sa0, la)
+    ib_loc = np.arange(len(fb), dtype=np.int64) - np.repeat(sb0, lb)
+    cnt_b = np.searchsorted(kb, ka, side="left") - np.repeat(sb0, la)
+    cnt_a = np.searchsorted(ka, kb, side="right") - np.repeat(sa0, lb)
+    pos_a = base[ra] + ia_loc + cnt_b
+    pos_b = base[rb] + ib_loc + cnt_a
+    m_all = len(fa) + len(fb)
+    r = np.empty(m_all, dtype=np.int64)
+    v = np.empty(m_all, dtype=np.int64)
+    t = np.empty(m_all, dtype=np.int8)
+    r[pos_a] = ra
+    r[pos_b] = rb
+    v[pos_a] = fa
+    v[pos_b] = fb
+    t[pos_a] = 0
+    t[pos_b] = 1
 
-    # event-1 window: last_pos = max(m, 0) (the walk's last_pos starts 0)
-    pred1 = np.where(
-        lst == 0, _pred(fb, kb, d, m), _pred(fa, ka, d, m)
-    )
-    w = np.maximum(m, 0) - pred1
-    contrib = np.where(w <= slop, 1.0 / (w + 1.0), 0.0)
-    out[d] += contrib
+    # collapse cross-list ties into AB elements (tag 2): adjacent equal
+    # (row, value) pairs are always (A, B) since values are distinct
+    # within a list
+    m_all = len(v)
+    if m_all > 1:
+        dup = (r[1:] == r[:-1]) & (v[1:] == v[:-1])
+        keep = np.ones(m_all, dtype=bool)
+        keep[1:][dup] = False
+        t = t.copy()
+        t[:-1][dup] = 2
+        r, v, t = r[keep], v[keep], t[keep]
+    m = len(v)
+    idx = np.arange(m, dtype=np.int64)
 
-    while d.size:
-        other = np.int8(1) - lst
-        key = d * _BIG + m
-        # successor (strictly greater) in the other list
-        ia = np.searchsorted(ka, key, side="right")
-        ib = np.searchsorted(kb, key, side="right")
-        idx = np.where(other == 0, ia, ib)
-        end = np.where(other == 0, sa[d + 1], sb[d + 1])
-        alive = idx < end
-        if not alive.any():
-            break
-        d = d[alive]
-        idx = idx[alive]
-        oth = other[alive]
-        prev_lst = lst[alive]
-        m = np.where(oth == 0, fa[np.minimum(idx, len(fa) - 1)],
-                     fb[np.minimum(idx, len(fb) - 1)])
-        # window: pred (inclusive) in the PREVIOUS event's list
-        pred = np.where(
-            prev_lst == 0, _pred(fa, ka, d, m), _pred(fb, kb, d, m)
+    # row segmentation (every valid row contributes >= 2 elements... >= 1
+    # after AB collapse)
+    new_row = np.ones(m, dtype=bool)
+    new_row[1:] = r[1:] != r[:-1]
+    rs = np.flatnonzero(new_row)               # row segment starts
+    seg_rows = r[rs]                           # row id per segment
+    start_of = np.repeat(rs, np.diff(np.append(rs, m)))  # row start per elem
+
+    is_a = t != 1  # tag in {A, AB}
+    is_b = t != 0  # tag in {B, AB}
+
+    # forward fills: nearest index <= i (within row) holding each class
+    last_a = np.maximum.accumulate(np.where(is_a, idx, -1))
+    last_b = np.maximum.accumulate(np.where(is_b, idx, -1))
+
+    big = np.int64(1) << 62
+    first_a = np.minimum.reduceat(np.where(is_a, idx, big), rs)
+    first_b = np.minimum.reduceat(np.where(is_b, idx, big), rs)
+    seg_valid = (first_a < big) & (first_b < big) & valid[seg_rows]
+    m1_idx = np.maximum(first_a, first_b)      # per segment
+
+    sv = np.flatnonzero(seg_valid)
+    m1i = m1_idx[sv]                           # m1 element index per valid row
+    # event-1 list = the slot whose HEAD is the larger (the other slot's
+    # iterator pops first and is consumed through <= m1); on equal heads
+    # the smaller-offset iterator pops, so the event lands in the
+    # larger-offset slot.  NB: an AB tag at m1 does NOT decide this — the
+    # tied value may sit mid-list in the other slot.
+    a_starts = np.concatenate(([0], np.cumsum(la)))[:-1]
+    b_starts = np.concatenate(([0], np.cumsum(lb)))[:-1]
+    rows_v = seg_rows[sv]
+    a0 = fa[a_starts[rows_v]]
+    b0 = fb[b_starts[rows_v]]
+    lam = np.int8(1 if off_b > off_a else 0)   # tie -> larger-offset list
+    l1 = np.where(
+        a0 > b0, np.int8(0), np.where(b0 > a0, np.int8(1), lam)
+    ).astype(np.int8)
+    w0_seg = np.full(len(seg_rows), -1, dtype=np.int8)
+    w0_seg[sv] = np.int8(1) - l1               # want after event 1
+
+    # event-1 contribution (AB m1 predecesses itself -> window 0)
+    pred1 = np.where(l1 == 0, v[last_b[m1i]], v[last_a[m1i]])
+    w1 = np.maximum(v[m1i], 0) - pred1
+    contrib = np.zeros(m, dtype=np.float64)
+    contrib[m1i] = np.where(w1 <= slop, 1.0 / (w1 + 1.0), 0.0)
+
+    # ---- elements strictly after m1 ---------------------------------------
+    m1_of_elem = np.full(m, big, dtype=np.int64)
+    seg_m1 = np.full(len(seg_rows), big, dtype=np.int64)
+    seg_m1[sv] = m1i
+    m1_of_elem = np.repeat(seg_m1, np.diff(np.append(rs, m)))
+    after = idx > m1_of_elem
+
+    # AB elements after m1: always events; predecessor in the other list
+    # is the element itself, so window = max(v, 0) - v (nonzero only for
+    # negative adjusted positions, where the walk's last_pos floor binds)
+    ab = after & (t == 2)
+    w_ab = np.maximum(v[ab], 0) - v[ab]
+    contrib[ab] = np.where(w_ab <= slop, 1.0 / (w_ab + 1.0), 0.0)
+
+    # pure-run leaders within the suffix: first suffix element of a
+    # maximal same-tag stretch
+    prev_same = np.zeros(m, dtype=bool)
+    prev_same[1:] = (r[1:] == r[:-1]) & (t[1:] == t[:-1]) & after[:-1]
+    leader = after & (t != 2) & ~prev_same
+
+    # ---- wanted list entering each run ------------------------------------
+    # runs = AB elements + pure leaders, in index order per row
+    run_mask = after & ((t == 2) | leader)
+    run_idx_of = np.cumsum(run_mask) - 1       # ordinal of the run at elem
+    run_elems = np.flatnonzero(run_mask)
+    if len(run_elems):
+        rr = r[run_elems]                      # row per run
+        rt = t[run_elems]                      # tag per run (2 = AB)
+        rj = np.arange(len(run_elems), dtype=np.int64)
+        run_new_row = np.ones(len(run_elems), dtype=bool)
+        run_new_row[1:] = rr[1:] != rr[:-1]
+        # ordinal of each row's first run
+        first_run = np.repeat(
+            rj[run_new_row],
+            np.diff(np.append(np.flatnonzero(run_new_row), len(run_elems))),
         )
-        w = np.maximum(m, 0) - pred
-        contrib = np.where(w <= slop, 1.0 / (w + 1.0), 0.0)
-        out[d] += contrib
-        lst = oth
+        # nearest preceding PURE run (forward fill; -1 = none in row yet)
+        pure_pos = np.maximum.accumulate(np.where(rt != 2, rj, -1))
+        prev_pure = np.empty(len(run_elems), dtype=np.int64)
+        prev_pure[0] = -1
+        prev_pure[1:] = pure_pos[:-1]
+        prev_pure = np.where(prev_pure >= first_run, prev_pure, -1)
+        # want entering run j: from the nearest preceding pure run's tag
+        # (its exit want is other(tag)), XOR parity of intervening ABs —
+        # every AB flips the want; with no preceding pure run, from the
+        # row's post-event-1 want XOR the ABs since the first run
+        w0_run = w0_seg[np.searchsorted(seg_rows, rr)]
+        base = np.where(prev_pure >= 0, 1 - rt[np.maximum(prev_pure, 0)],
+                        w0_run).astype(np.int8)
+        gap = np.where(prev_pure >= 0, rj - prev_pure - 1, rj - first_run)
+        w_in = (base ^ (gap & 1).astype(np.int8)).astype(np.int8)
+        # pure leader fires iff its list is the wanted one
+        fire = (rt != 2) & (w_in == rt)
+        fe = run_elems[fire]                   # element indices of events
+        if len(fe):
+            tag_e = t[fe]
+            pred = np.where(tag_e == 0, v[last_b[fe]], v[last_a[fe]])
+            w = np.maximum(v[fe], 0) - pred
+            contrib[fe] = np.where(w <= slop, 1.0 / (w + 1.0), 0.0)
 
-    return out
+    # chronological accumulation: bincount adds in array order == merged
+    # value order == event order (zeros in between are exact no-ops)
+    res = np.bincount(r, weights=contrib, minlength=n)
+    return res
 
 
 def exact_freqk_batch(slot_arrs, offsets):

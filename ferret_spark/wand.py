@@ -610,7 +610,7 @@ class _SegEval:
                 continue
             local, tfs, pos, dls = dec
             for i, d in enumerate(local):
-                pos_by_doc.setdefault(int(d), {})[t] = [int(p) for p in pos[i]]
+                pos_by_doc.setdefault(int(d), {})[t] = pos[i].tolist()
                 dl_by_doc[int(d)] = int(dls[i])
         avgdl = self.avgdl[field]
         for d, pmap in pos_by_doc.items():

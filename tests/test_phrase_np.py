@@ -71,6 +71,29 @@ def test_sloppy2_empty_rows_and_batch():
     assert got.tolist() == [0.0, 0.0]
 
 
+@pytest.mark.parametrize("slop", [0, 2, 5])
+def test_sloppy2_long_chains_cross_round_cap(slop):
+    """Docs with 40-120 occurrences per slot force the per-doc tail path
+    past _ROUND_CAP — partial lock-step sums must be discarded exactly."""
+    rng = np.random.Generator(np.random.Philox(key=5))
+    docs_a, docs_b = [], []
+    for _ in range(50):
+        docs_a.append(
+            np.sort(rng.choice(1000, size=int(rng.integers(40, 120)),
+                               replace=False)).astype(np.int64)
+        )
+        docs_b.append(
+            np.sort(rng.choice(1000, size=int(rng.integers(40, 120)),
+                               replace=False)).astype(np.int64)
+        )
+    got = sloppy_freq2_batch(docs_a, docs_b, 0, 1, slop)
+    for i in range(50):
+        want = sloppy_phrase_freq(
+            [docs_a[i].tolist(), (docs_b[i] - 1).tolist()], [0, 1], slop, False
+        )
+        assert got[i] == want
+
+
 @pytest.mark.parametrize("k", [2, 3, 4])
 def test_exact_k_matches_sets(k):
     rng = np.random.Generator(np.random.Philox(key=17 + k))
