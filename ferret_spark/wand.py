@@ -698,6 +698,14 @@ class _SegEval:
         flats, lens = [], []
         dl = None
         for j, (local, tfs, (pflat, bounds), dls) in enumerate(decs):
+            if len(cand) == len(local):
+                # every posting doc is a candidate (hot terms co-occur):
+                # the flat stream is already exactly the gather result
+                flats.append(pflat)
+                lens.append(tfs)
+                if j == 0:
+                    dl = dls.astype(np.float64)
+                continue
             idx = np.searchsorted(local, cand)
             ln = tfs[idx]
             starts = bounds[idx]
