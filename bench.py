@@ -36,6 +36,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("FERRET_BENCH_DOCS", "120000"))
 SKIP_SCALING = os.environ.get("FERRET_BENCH_SKIP_SCALING", "") == "1"
 N_REPS = int(os.environ.get("FERRET_BENCH_REPS", "3"))  # max paired trials
+# minimum paired trials before the early "plausible pair" break applies
+MIN_TRIALS = int(os.environ.get("FERRET_BENCH_MIN_TRIALS", "1"))
 # wall budget for the scaling phase: no NEW trial starts past this (the
 # whole bench must fit a driver timeout even on a degraded host window)
 SCALING_BUDGET_S = float(os.environ.get("FERRET_BENCH_BUDGET", "300"))
@@ -254,7 +256,8 @@ def main():
             runs["4N"] = r_big
             shutil.rmtree(r_small["_dir"], ignore_errors=True)
             if (
-                0.85 <= eff <= 1.1  # plausible clean pair in hand
+                (0.85 <= eff <= 1.1 and trial + 1 >= MIN_TRIALS)
+                # plausible clean pair in hand AND enough trials recorded
                 or trial == N_REPS - 1
                 or time.time() - t_phase > SCALING_BUDGET_S
             ):
