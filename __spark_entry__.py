@@ -809,6 +809,63 @@ ORDER BY rank LIMIT {k}
     )
 
 
+def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explain trees (searcher.explain analog) for the top-5 docs of
+    text:spark, flattened to the BM25 decomposition the tree carries:
+    (rank, doc_id, score, boost, idf, tf_norm). The SQL twin recomputes
+    every component, so the explain machinery — not just the final
+    score — is cross-engine-checked."""
+    from ferret_spark.highlight import explain
+    from ferret_spark.query import TermQuery
+
+    idx = _get_index(spark, sf_dir)
+    q = TermQuery(field="text", term="spark")
+    rows = []
+    for r in _topk(idx, q, k=5).collect():
+        ex = explain(idx, q, r["doc_id"])
+        det = {d.description.split("(")[0]: d.value for d in ex.details}
+        rows.append(
+            (
+                int(r["rank"]),
+                int(r["doc_id"]),
+                round(float(ex.value), 4),
+                float(det["boost"]),
+                round(float(det["idf"]), 6),
+                round(float(det["tfNorm"]), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "rank long, doc_id long, score double, boost double,"
+        " idf double, tf_norm double",
+    )
+
+
+def _sql_explain(term: str = "spark", k: int = 5) -> str:
+    idf = _IDF.format(n="st.n", df="ts.df::DOUBLE")
+    tfp = _TFP.format(tf="p.tf", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT p.doc_id, 1.0 AS boost,
+         {idf} AS idf_raw, {tfp} AS tfp_raw,
+         {idf} * {tfp} AS s
+  FROM p
+  JOIN tstat ts ON ts.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  WHERE p.term = '{term}'
+)
+SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC)::BIGINT
+         AS rank,
+       doc_id, round(s, 4) AS score, boost,
+       round(idf_raw, 6) AS idf, round(tfp_raw, 6) AS tf_norm
+FROM scored ORDER BY rank LIMIT {k}
+"""
+    )
+
+
 def _q_doc_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row content sha256 — the input_hint invariant surface."""
     idx = _get_index(spark, sf_dir)
@@ -1526,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sorted_nchars": _q_sorted_nchars,
         "ft_sorted_multi": _q_sorted_multi,
         "ft_highlight": _q_highlight,
+        "ft_explain": _q_explain,
         "ft_scan": _q_scan,
         "ft_count_stats": _q_count_stats,
         "ft_fql": _q_fql,
@@ -1583,6 +1641,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_sorted_nchars": _sql_sorted_nchars(),
         "ft_sorted_multi": _sql_sorted_multi(),
         "ft_highlight": _sql_highlight(),
+        "ft_explain": _sql_explain(),
         "ft_scan": _sql_scan(),
         "ft_count_stats": _sql_count_stats(),
         "ft_fql": _sql_fql(),
