@@ -348,6 +348,108 @@ scored AS (
     )
 
 
+def _q_phrase_slopk(terms: list, slop: int):
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ferret_spark.query import PhraseQuery
+
+        q = PhraseQuery.of("text", terms, slop=slop)
+        return _topk(_get_index(spark, sf_dir), q)
+
+    return f
+
+
+def _sql_phrase_slop3(t1: str, t2: str, t3: str, slop: int, k: int = K) -> str:
+    """Sloppy 3-term phrase twin: a recursive CTE SIMULATING the reference
+    heap walk directly (sphsc_phrase_freq, c/src/q_phrase.c:454-515) — the
+    2-slot alternating-chain shortcut does not exist at k=3, so the chain
+    state carries all three cursor heads (offset-adjusted values h0..h2)
+    and each recursion step performs one pop:
+
+      - popped slot i = argmin by (value, offset) — offsets ascend with
+        slot index, so ties resolve to the lower index;
+      - next_pos     = least of the other two heads;
+      - window       = greatest(h0,h1,h2,0) - (largest list-i value
+                       <= next_pos)   [the walk's last_pos is the running
+                       head max floored at 0];
+      - new head i   = smallest list-i value > next_pos; NULL ends the
+                       doc's walk (the exhausting pop still scores).
+
+    Contributions sum in pop order (list_sum over ORDER BY t) for float64
+    parity with the engine's lockstep kernel."""
+    idf1 = _IDF.format(n="st.n", df="(SELECT df FROM tstat WHERE term='{t}')::DOUBLE")
+    tfp = _TFP.format(tf="ph.freq", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    # popped slot / next-pos / new-head expressions over a chain row `c`
+    i_exp = (
+        "(CASE WHEN c.h0 <= c.h1 AND c.h0 <= c.h2 THEN 0 "
+        "WHEN c.h1 <= c.h2 THEN 1 ELSE 2 END)"
+    )
+    np_exp = (
+        f"(CASE WHEN {i_exp} = 0 THEN least(c.h1, c.h2) "
+        f"WHEN {i_exp} = 1 THEN least(c.h0, c.h2) "
+        f"ELSE least(c.h0, c.h1) END)"
+    )
+    nh_exp = (
+        f"(SELECT min(p.val) FROM pos3 p WHERE p.doc_id = c.doc_id "
+        f"AND p.tag = {i_exp} AND p.val > {np_exp})"
+    )
+    start_exp = (
+        f"(SELECT max(p.val) FROM pos3 p WHERE p.doc_id = c.doc_id "
+        f"AND p.tag = {i_exp} AND p.val <= {np_exp})"
+    )
+    return (
+        _PRELUDE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+        + f""",
+pos3 AS (
+  SELECT doc_id, pos::BIGINT AS val, 0 AS tag FROM tok2 WHERE term = '{t1}'
+  UNION ALL
+  SELECT doc_id, pos::BIGINT - 1 AS val, 1 AS tag FROM tok2 WHERE term = '{t2}'
+  UNION ALL
+  SELECT doc_id, pos::BIGINT - 2 AS val, 2 AS tag FROM tok2 WHERE term = '{t3}'
+),
+heads0 AS (
+  SELECT doc_id,
+         min(CASE WHEN tag = 0 THEN val END) AS h0,
+         min(CASE WHEN tag = 1 THEN val END) AS h1,
+         min(CASE WHEN tag = 2 THEN val END) AS h2
+  FROM pos3 GROUP BY doc_id
+  HAVING count(DISTINCT tag) = 3
+),
+chain AS (
+  SELECT doc_id, h0, h1, h2, 1 AS t FROM heads0
+  UNION ALL
+  SELECT c.doc_id,
+         CASE WHEN {i_exp} = 0 THEN {nh_exp} ELSE c.h0 END AS h0,
+         CASE WHEN {i_exp} = 1 THEN {nh_exp} ELSE c.h1 END AS h1,
+         CASE WHEN {i_exp} = 2 THEN {nh_exp} ELSE c.h2 END AS h2,
+         c.t + 1 AS t
+  FROM chain c
+  WHERE {nh_exp} IS NOT NULL
+),
+wins AS (
+  SELECT c.doc_id, c.t,
+         greatest(c.h0, c.h1, c.h2, 0) - {start_exp} AS w
+  FROM chain c
+),
+ph AS (
+  SELECT doc_id,
+         list_sum(list(CASE WHEN w <= {slop} THEN 1.0 / (w + 1.0)
+                            ELSE 0.0 END ORDER BY t)) AS freq
+  FROM wins GROUP BY doc_id
+),
+idfs AS (
+  SELECT ({idf1.format(t=t1)}) + ({idf1.format(t=t2)})
+         + ({idf1.format(t=t3)}) AS idf_sum
+  FROM st
+),
+scored AS (
+  SELECT ph.doc_id, idfs.idf_sum * {tfp} AS s
+  FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN idfs
+  WHERE ph.freq > 0.0
+)"""
+        + _RANKED.format(k=k)
+    )
+
+
 def _q_prefix(prefix: str):
     def f(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ferret_spark.query import PrefixQuery
@@ -1574,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_not": _q_bool("not", "scan", "join"),
         "ft_phrase": _q_phrase("table", "hash"),
         "ft_phrase_slop": _q_phrase_slop("table", "hash", 2),
+        "ft_phrase_slop3": _q_phrase_slopk(["table", "hash", "key"], 3),
         "ft_prefix": _q_prefix("sc"),
         "ft_wildcard": _q_wildcard("s?an"),
         "ft_fuzzy": _q_fuzzy("sprak", 0.5),
@@ -1625,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bool_not": _sql_bool_not("scan", "join"),
         "ft_phrase": _sql_phrase("table", "hash"),
         "ft_phrase_slop": _sql_phrase_slop("table", "hash", 2),
+        "ft_phrase_slop3": _sql_phrase_slop3("table", "hash", "key", 3),
         "ft_prefix": _sql_multi_term("p.term LIKE 'sc%'"),
         "ft_wildcard": _sql_multi_term("p.term LIKE 's_an'"),
         "ft_fuzzy": _sql_multi_term(

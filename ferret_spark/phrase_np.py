@@ -69,6 +69,8 @@ import numpy as np
 __all__ = [
     "sloppy_freq2_batch",
     "sloppy_freq2_flat",
+    "sloppy_freqk_batch",
+    "sloppy_freqk_flat",
     "exact_freqk_batch",
     "exact_freqk_flat",
 ]
@@ -267,6 +269,124 @@ def sloppy_freq2_flat(fa, la, fb, lb, off_a: int, off_b: int, slop: int):
     # value order == event order (zeros in between are exact no-ops)
     res = np.bincount(r, weights=contrib, minlength=n)
     return res
+
+
+def sloppy_freqk_batch(slot_arrs, offsets, slop: int):
+    """Sloppy phrase freq for a batch of documents, k slots, no repeated
+    terms: ``slot_arrs[j][i]`` is slot j's sorted raw position array for
+    document i.  Returns float64 per-document freqs, bit-identical to
+    oracle.sloppy_phrase_freq run per document."""
+    k = len(slot_arrs)
+    pairs = [_flatten(slot_arrs[j]) for j in range(k)]
+    return sloppy_freqk_flat(
+        [p[0] for p in pairs], [p[1] for p in pairs], offsets, slop
+    )
+
+
+def sloppy_freqk_flat(flats_in, lens_in, offsets, slop: int):
+    """k-slot sloppy phrase frequencies, whole batch, no repeats: a
+    LOCKSTEP vectorization of the reference heap walk (sphsc_phrase_freq,
+    c/src/q_phrase.c:454-515).
+
+    Unlike the 2-slot case there is no static alternation to exploit (the
+    pop order is a genuine k-way heap order), but the walk itself is
+    embarrassingly parallel ACROSS documents: every document performs the
+    same step shape — pop the min-key head, advance it through the second
+    minimum, score one window — so all documents execute their walks in
+    lockstep, one vectorized event per iteration:
+
+      - heads are cursor gathers into the per-slot flat arrays; the heap
+        pop is an argmin over the k head keys (position, offset, slot),
+        encoded scalar as ``pos * k + offset_rank``;
+      - ``last_pos`` needs no running state: heads advance monotonically,
+        so the walk's running max equals ``max(0, current heads)`` at
+        every step;
+      - the advance ("last position <= next heap minimum") is ONE
+        np.searchsorted over the doc-biased flat array, valid for every
+        active document at once — exactly the rank-merge trick the 2-slot
+        kernel uses;
+      - finished documents drop out of the active set, so total gather
+        work is O(sum of per-doc event counts), the same as the scalar
+        walk, with per-event numpy overhead amortized over the batch.
+
+    Iteration count is the MAX event count over the batch (hot docs run
+    last with a tiny active set), not the sum.  Window contributions
+    accumulate per document in event order, so the float64 sums are
+    bit-identical to the reference walk.  Equivalence is property-tested
+    exhaustively against oracle.sloppy_phrase_freq for k in {2,3,4,5}
+    (tests/test_phrase_np.py)."""
+    k = len(flats_in)
+    n = len(lens_in[0]) if k else 0
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0 or k == 0:
+        return out
+    big_bias = np.int64(1) << 33
+    kk = np.int64(k)
+    vals, biased, starts, ends, lens = [], [], [], [], []
+    for j in range(k):
+        lj = np.asarray(lens_in[j], dtype=np.int64)
+        v = np.asarray(flats_in[j], dtype=np.int64) - np.int64(offsets[j])
+        vals.append(v)
+        biased.append(v + np.repeat(np.arange(n, dtype=np.int64), lj) * big_bias)
+        s = np.concatenate(([0], np.cumsum(lj)))[:-1]
+        starts.append(s)
+        ends.append(s + lj)
+        lens.append(lj)
+    valid = lens[0] > 0
+    for j in range(1, k):
+        valid &= lens[j] > 0
+    act = np.flatnonzero(valid)
+    if act.size == 0:
+        return out
+    cur = [starts[j].copy() for j in range(k)]  # absolute head index per row
+
+    # heap-key tiebreak: (position, offset, slot index) — encode the
+    # constant (offset, index) part as the slot's rank in that order
+    rank = np.empty(k, dtype=np.int64)
+    for r_, j in enumerate(sorted(range(k), key=lambda j: (offsets[j], j))):
+        rank[j] = r_
+    exhausted_key = np.int64(1) << 62
+
+    while act.size:
+        m = act.size
+        heads = np.empty((k, m), dtype=np.int64)
+        for j in range(k):
+            heads[j] = vals[j][cur[j][act]]
+        keys = heads * kk + rank[:, None]
+        i = np.argmin(keys, axis=0)               # popped slot per row
+        last_pos = np.maximum(heads.max(axis=0), 0)
+        keys[i, np.arange(m)] = exhausted_key
+        # floor division recovers the position from pos*k + rank even for
+        # negative adjusted positions (leading skip slots)
+        next_pos = np.floor_divide(keys.min(axis=0), kk)
+
+        start_val = np.empty(m, dtype=np.int64)
+        done = np.zeros(m, dtype=bool)
+        for j in range(k):
+            sel = np.flatnonzero(i == j)
+            if sel.size == 0:
+                continue
+            rows = act[sel]
+            # last element <= next_pos in THIS row's slot-j run: one
+            # vectorized searchsorted over the doc-biased flat array
+            s_abs = (
+                np.searchsorted(
+                    biased[j], next_pos[sel] + rows * big_bias, side="right"
+                )
+                - 1
+            )
+            start_val[sel] = vals[j][s_abs]
+            nc = s_abs + 1
+            d = nc >= ends[j][rows]
+            done[sel] = d
+            cur[j][rows] = np.where(d, cur[j][rows], nc)
+        w = last_pos - start_val
+        # the exhausting pop still scores its window (the walk computes
+        # match_length before checking done); += in doc order keeps the
+        # per-doc float64 accumulation sequence identical to the walk
+        out[act] += np.where(w <= slop, 1.0 / (w + 1.0), 0.0)
+        act = act[~done]
+    return out
 
 
 def exact_freqk_batch(slot_arrs, offsets):

@@ -384,8 +384,15 @@ class _Planner:
         order = sorted(range(len(slot_dfs)), key=lambda i: (slot_counts[i], i))
         joined = slot_dfs[order[0]]
         bound = slot_counts[order[0]]
-        for j in order[1:]:
-            if bound <= PHRASE_BROADCAST_DF:
+        for nth, j in enumerate(order[1:]):
+            # the row bound (rarest slot's df) does not bound BYTES: each
+            # completed join adds a position-array column to the
+            # accumulator, so re-broadcasting it every round can ship
+            # hundreds of MB for position-heavy mid-df slots.  Broadcast
+            # only while the accumulator carries <= 2 slots' arrays (the
+            # k=2 common case plus the first two joins of longer phrases);
+            # after that the remaining joins shuffle on doc_id.
+            if bound <= PHRASE_BROADCAST_DF and nth < 2:
                 joined = slot_dfs[j].join(F.broadcast(joined), "doc_id")
             else:
                 joined = joined.join(slot_dfs[j], "doc_id")
@@ -433,11 +440,32 @@ class _Planner:
             # through it, so the batch kernel runs ONCE per row instead of
             # once for the filter and again for the score projection
             freq = F.explode(F.array(phrase_freq2(F.col("p0"), F.col("p1"))))
+        elif not repeats:
+            # >=3-slot sloppy phrase, no repeated terms: lockstep
+            # vectorization of the k-way heap walk — every doc in the
+            # Arrow batch advances one heap event per iteration
+            # (phrase_np.sloppy_freqk_batch, bit-identical to the oracle
+            # walk by property test); no per-row Python
+            from ferret_spark.phrase_np import sloppy_freqk_batch
+
+            @F.pandas_udf("double")
+            def phrase_freqk(*cols: pd.Series) -> pd.Series:
+                return pd.Series(
+                    sloppy_freqk_batch(
+                        [c.to_numpy() for c in cols], offsets, slop
+                    )
+                )
+
+            freq = F.explode(
+                F.array(
+                    phrase_freqk(*[F.col(f"p{i}") for i in range(len(q.positions))])
+                )
+            )
         else:
-            # >=3-slot sloppy (or repeated-term) phrases: the k-way heap
-            # walk with repeat reconciliation is genuinely sequential per
-            # doc (pp_next_unignored analog, c/src/q_phrase.c:1124-1187) —
-            # Arrow-batched pandas UDF, per-doc oracle walk
+            # repeated-term sloppy phrases: the heap walk's repeat
+            # reconciliation (sphsc_check_repeats, c/src/q_phrase.c:427-452)
+            # mutates sibling iterators mid-pop and is genuinely
+            # sequential — Arrow-batched pandas UDF, per-doc oracle walk
             from ferret_spark.oracle import sloppy_phrase_freq
 
             @F.pandas_udf("double")

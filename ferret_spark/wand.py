@@ -669,7 +669,11 @@ class _SegEval:
         the whole-segment batch kernels (phrase_np) score every doc at
         once.  Only >=3-slot sloppy / repeated-term phrases walk per doc
         (genuinely sequential semantics)."""
-        from ferret_spark.phrase_np import exact_freqk_flat, sloppy_freq2_flat
+        from ferret_spark.phrase_np import (
+            exact_freqk_flat,
+            sloppy_freq2_flat,
+            sloppy_freqk_flat,
+        )
 
         field = q.field
         empty = (np.empty(0, dtype=np.int64), np.zeros(0), np.zeros(0))
@@ -727,7 +731,15 @@ class _SegEval:
                 flats[0], lens[0], flats[1], lens[1],
                 offsets[0], offsets[1], q.slop,
             )
+        elif not repeats:
+            # k>=3 sloppy, no repeated terms: lockstep vectorization of
+            # the heap walk — all candidate docs advance one event per
+            # iteration, no per-doc Python
+            freq = sloppy_freqk_flat(flats, lens, offsets, q.slop)
         else:
+            # repeated-term slots keep the per-doc walk: the repeat
+            # reconciliation (sphsc_check_repeats) mutates sibling
+            # iterators mid-pop and is genuinely sequential
             freq = np.zeros(len(cand), dtype=np.float64)
             bnds = [np.concatenate(([0], np.cumsum(l))) for l in lens]
             for i in range(len(cand)):

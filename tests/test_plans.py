@@ -111,15 +111,32 @@ def test_sloppy2_phrase_routes_to_batch_kernel(saved_idx):
     assert len(df.collect()) > 0
 
 
-def test_sloppy3_phrase_uses_per_doc_fallback(saved_idx):
-    """>=3-slot sloppy phrases keep the per-doc oracle walk (documented
-    sequential case)."""
+def test_sloppy3_phrase_routes_to_lockstep_kernel(saved_idx):
+    """>=3-slot sloppy phrases (no repeats) score through the lockstep
+    batch kernel (phrase_freqk / phrase_np.sloppy_freqk_batch), not the
+    per-row oracle-walk fallback — one Arrow-batched UDF for the whole
+    batch."""
     from ferret_spark.query import PhraseQuery
 
     q = PhraseQuery.of("content", ["word1", "word2", "word3"], slop=3)
     df = saved_idx.search(q, k=10)
     plan = _executed_plan(df)
-    assert "phrase_freq" in plan and "phrase_freq2" not in plan
+    assert "phrase_freqk" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_repeated_term_sloppy_phrase_keeps_per_doc_walk(saved_idx):
+    """Repeated-term slots keep the per-doc walk (sphsc_check_repeats is
+    genuinely sequential)."""
+    from ferret_spark.query import PhraseQuery
+
+    q = PhraseQuery.of("content", ["word1", "word2", "word1"], slop=3)
+    df = saved_idx.search(q, k=10)
+    plan = _executed_plan(df)
+    assert "phrase_freq(" in plan or (
+        "phrase_freq" in plan and "phrase_freqk" not in plan
+    ), plan
 
 
 def test_phrase_join_broadcasts_rare_side(saved_idx):

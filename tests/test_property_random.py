@@ -44,7 +44,7 @@ def rand_leaf(rng: random.Random):
     if r < 0.45:
         return TermQuery(field="content", term=rng.choice(VOCAB))
     if r < 0.6:
-        n = rng.randint(2, 3)
+        n = rng.randint(2, 4)
         terms = [rng.choice(VOCAB) for _ in range(n)]
         if rng.random() < 0.3:
             terms[rng.randrange(n)] = None  # <> skip
