@@ -612,10 +612,30 @@ def _sql_ann_ivf(query_vec_id: int = 0, k: int = 10) -> str:
     k-means, ivf_trained_centroids) is generated once per process and
     shared by the Spark query (broadcast data) and this SQL (literals) —
     the driver compares at sf0.01, so the twin trains on the same table
-    the Spark side will see."""
+    the Spark side will see.  A guard CTE errors LOUDLY if the embeddings
+    view the twin runs against has a different row count than the table
+    the codebook was trained on (comparing at another scale factor
+    without pointing SPARK_GRAFT_ORACLE_SF_DIR at it would otherwise be a
+    silent codebook mismatch and a spurious hash failure)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
     from ferret_spark.pipeline import IVF_NPROBE, ivf_trained_centroids
 
     cents = ivf_trained_centroids(_ORACLE_SF_DIR)
+    t = pq.read_table(
+        f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["embedding"]
+    )
+    arr = t.column("embedding").combine_chunks()
+    first = arr.values.to_numpy(zero_copy_only=False)[
+        arr.offsets.to_numpy()[:-1]
+    ].astype("float64")
+    n_trained = len(arr)
+    # order-independent integer fingerprint of the training table: both
+    # sides compute floor(float64(first_component) * 1e6) exactly, so the
+    # sums are bit-equal iff the tables hold the same vectors (row counts
+    # alone collide across scale factors)
+    fp_trained = int(np.floor(first * 1e6).astype("int64").sum())
     structs = ", ".join(
         "{'d': list_dot_product(e, ["
         + ", ".join(repr(x) for x in c)
@@ -625,7 +645,17 @@ def _sql_ann_ivf(query_vec_id: int = 0, k: int = 10) -> str:
         for i, c in enumerate(cents)
     )
     return f"""
-WITH base AS (
+WITH chk AS (
+  SELECT CASE WHEN (SELECT count(*) FROM embeddings) = {n_trained}
+               AND (SELECT sum(floor((embedding::DOUBLE[])[1] * 1e6)::BIGINT)
+                    FROM embeddings) = {fp_trained} THEN 1
+         ELSE error('pp_ann_ivf twin: codebook was trained on '
+                    || '{_ORACLE_SF_DIR} ({n_trained} rows) but the '
+                    || 'compare views hold a different embeddings table '
+                    || '— set SPARK_GRAFT_ORACLE_SF_DIR to the compare '
+                    || 'dir') END AS ok
+),
+base AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
 assigned AS (
@@ -645,6 +675,7 @@ SELECT a.vec_id,
 FROM assigned a, q
 WHERE a.cid IN (SELECT pid FROM probes)
   AND a.vec_id <> {query_vec_id}
+  AND (SELECT ok FROM chk) = 1
 ORDER BY cosine DESC, a.vec_id ASC
 LIMIT {k}
 """

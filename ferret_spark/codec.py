@@ -239,7 +239,16 @@ def decode_posting_list(row: dict, with_positions=True):
             ).astype(np.int64)
             bounds = np.concatenate(([0], np.cumsum(tfs)))
             # per-doc cumsum of position deltas, vectorized: global
-            # cumsum minus the total accumulated before each doc's start
+            # cumsum minus the total accumulated before each doc's start.
+            # Encoder invariant: every doc in a positional block has
+            # tf >= 1 — a zero tf would make bounds[i] - 1 wrap to the
+            # previous (or last) doc and silently corrupt every following
+            # position base, so fail loudly on malformed blocks instead.
+            if tfs.size and int(tfs.min()) <= 0:
+                raise ValueError(
+                    "corrupt posting block: tf == 0 alongside a position "
+                    "stream (position bases would be misaligned)"
+                )
             fc = np.cumsum(flat)
             if len(tfs) > 1:
                 base = np.concatenate(([0], fc[bounds[1:-1] - 1]))

@@ -942,6 +942,24 @@ def dedup_clusters(
         stepped.unpersist()
         prev_persisted = new_labels
         labels = new_labels
+    if changed != 0:
+        # the in-loop probe runs BEFORE the round's update, so a run that
+        # converges exactly during round max_iters exits with a stale
+        # changed != 0 — certify the FINAL labels with one more cheap
+        # probe before declaring non-convergence (max_iters stays the
+        # number of usable update rounds, not update rounds minus one)
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        changed = (
+            labels.join(nbr, "doc_id", "left")
+            .where(F.col("nbr_min") < F.col("label"))
+            .limit(1)
+            .count()
+        )
     edges.unpersist()
     if changed != 0:
         raise RuntimeError(

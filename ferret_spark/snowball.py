@@ -127,25 +127,13 @@ _IMPLEMENTED: dict[str, Callable[[], Callable[[str], str]]] = {
     "turkish": _turkish,
 }
 
-# sb_stemmer_list() of the bundled libstemmer
-_LIBSTEMMER_NAMES = frozenset(
-    "danish dutch english finnish french german hungarian italian "
-    "norwegian porter portuguese romanian russian spanish swedish "
-    "turkish".split()
-)
-
-
 def get_stemmer(name: str | bool = "english") -> Callable[[str], str]:
+    """All 16 sb_stemmer_list() algorithms of the bundled libstemmer
+    resolve (plus the classic 'porter'); anything else is unknown."""
     if name is True:
         name = "english"
     n = str(name).lower()
     loader = _IMPLEMENTED.get(n)
     if loader is not None:
         return loader()
-    if n in _LIBSTEMMER_NAMES:
-        raise NotImplementedError(
-            f"stemming algorithm {n!r} is a valid libstemmer name but is "
-            "not implemented in this port (available: "
-            f"{sorted(_IMPLEMENTED)})"
-        )
     raise ValueError(f"unknown stemming algorithm: {name!r}")
