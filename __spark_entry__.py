@@ -974,6 +974,115 @@ def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_explain_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explain trees for a composite query — text:scan MUST plus the
+    exact phrase "table hash" SHOULD — flattened to the per-clause
+    decomposition the tree carries: the term clause's (idf, tfNorm,
+    contribution) and the phrase clause's (freq, idf_sum, tfNorm,
+    contribution), with the clause contributions summing to the score.
+    Cross-checks the BooleanQuery and PhraseQuery explain nodes
+    (searcher explain trees, c/src/search.c:13-79), not just TermQuery."""
+    from ferret_spark.highlight import explain
+    from ferret_spark.query import MUST, SHOULD, BooleanQuery, PhraseQuery, TermQuery
+
+    idx = _get_index(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery(field="text", term="scan"), MUST),
+        (PhraseQuery.of("text", ["table", "hash"]), SHOULD),
+    )
+    rows = []
+    for r in _topk(idx, q, k=5).collect():
+        ex = explain(idx, q, r["doc_id"])
+        t_idf = t_tfn = t_val = p_freq = p_idf = p_tfn = p_val = 0.0
+        for d in ex.details:
+            if d.description.startswith("weight("):
+                t_val = d.value
+                for dd in d.details:
+                    if dd.description.startswith("idf("):
+                        t_idf = dd.value
+                    elif dd.description.startswith("tfNorm("):
+                        t_tfn = dd.value
+            elif d.description.startswith("phraseFreq="):
+                p_val = d.value
+                p_freq = float(d.description.split("=")[1])
+                for dd in d.details:
+                    if dd.description == "idf sum":
+                        p_idf = dd.value
+                    elif dd.description == "tfNorm":
+                        p_tfn = dd.value
+        rows.append(
+            (
+                int(r["rank"]),
+                int(r["doc_id"]),
+                round(float(ex.value), 4),
+                round(t_idf, 6),
+                round(t_tfn, 6),
+                round(t_val, 6),
+                float(p_freq),
+                round(p_idf, 6),
+                round(p_tfn, 6),
+                round(p_val, 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "rank long, doc_id long, score double, t_idf double,"
+        " t_tfnorm double, t_contrib double, p_freq double,"
+        " p_idf_sum double, p_tfnorm double, p_contrib double",
+    )
+
+
+def _sql_explain_bool(
+    term: str = "scan", t1: str = "table", t2: str = "hash", k: int = 5
+) -> str:
+    idf = _IDF.format(n="st.n", df="ts.df::DOUBLE")
+    tfp = _TFP.format(tf="p.tf", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    idf1 = _IDF.format(n="st.n", df="(SELECT df FROM tstat WHERE term='{t}')::DOUBLE")
+    ptfp = _TFP.format(tf="ph.freq", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
+    return (
+        _PRELUDE
+        + f""",
+tscore AS (
+  SELECT p.doc_id, {idf} AS t_idf, {tfp} AS t_tfn, {idf} * {tfp} AS t_s
+  FROM p JOIN tstat ts ON ts.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN st
+  WHERE p.term = '{term}'
+),
+ph AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS freq
+  FROM tok2 a JOIN tok2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+  GROUP BY a.doc_id
+),
+pidfs AS (
+  SELECT ({idf1.format(t=t1)}) + ({idf1.format(t=t2)}) AS idf_sum FROM st
+),
+pscore AS (
+  SELECT ph.doc_id, ph.freq, pidfs.idf_sum, {ptfp} AS p_tfn,
+         pidfs.idf_sum * {ptfp} AS p_s
+  FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN st CROSS JOIN pidfs
+),
+combined AS (
+  SELECT t.doc_id, t.t_s + coalesce(p.p_s, 0.0) AS s,
+         t.t_idf, t.t_tfn, t.t_s,
+         coalesce(p.freq, 0.0) AS p_freq,
+         coalesce(p.idf_sum, 0.0) AS p_idf,
+         coalesce(p.p_tfn, 0.0) AS p_tfn,
+         coalesce(p.p_s, 0.0) AS p_s
+  FROM tscore t LEFT JOIN pscore p ON p.doc_id = t.doc_id
+)
+SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC)::BIGINT
+         AS rank,
+       doc_id, round(s, 4) AS score,
+       round(t_idf, 6) AS t_idf, round(t_tfn, 6) AS t_tfnorm,
+       round(t_s, 6) AS t_contrib,
+       p_freq, round(p_idf, 6) AS p_idf_sum, round(p_tfn, 6) AS p_tfnorm,
+       round(p_s, 6) AS p_contrib
+FROM combined ORDER BY rank LIMIT {k}
+"""
+    )
+
+
 def _sql_explain(term: str = "spark", k: int = 5) -> str:
     idf = _IDF.format(n="st.n", df="ts.df::DOUBLE")
     tfp = _TFP.format(tf="p.tf", dl="dl.doc_len::DOUBLE", avgdl="st.avgdl")
@@ -1718,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sorted_multi": _q_sorted_multi,
         "ft_highlight": _q_highlight,
         "ft_explain": _q_explain,
+        "ft_explain_bool": _q_explain_bool,
         "ft_scan": _q_scan,
         "ft_count_stats": _q_count_stats,
         "ft_fql": _q_fql,
@@ -1777,6 +1887,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_sorted_multi": _sql_sorted_multi(),
         "ft_highlight": _sql_highlight(),
         "ft_explain": _sql_explain(),
+        "ft_explain_bool": _sql_explain_bool(),
         "ft_scan": _sql_scan(),
         "ft_count_stats": _sql_count_stats(),
         "ft_fql": _sql_fql(),

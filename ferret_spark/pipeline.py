@@ -1138,22 +1138,35 @@ def _pil_image_module():
 
 _PIL_UNRESOLVED = object()
 _PIL_IMAGE = _PIL_UNRESOLVED
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload to an (H, W, 3) uint8 array.
 
-    Pure-numpy decoders for the container-less formats:
+    Pure-numpy decoders needing no external codec:
       - PPM P6 (binary, maxval<=255) and P3 (ASCII)
       - PGM P5 (grayscale, broadcast to 3 channels)
       - BMP: uncompressed 24-bit BI_RGB (bottom-up or top-down rows)
-    Compressed codecs (JPEG/PNG/WebP) decode through Pillow WHEN it is
+      - PNG: vendored stdlib-zlib decoder (ferret_spark.png) —
+        non-interlaced 8-bit, all filters and color types
+    The remaining compressed codecs (JPEG/WebP, plus the PNG shapes the
+    vendored decoder declines) decode through Pillow WHEN it is
     importable (feature-flagged, not required); without it they raise
     NotImplementedError — a declared stand-in, not a silent fake."""
     if payload[:2] in (b"P6", b"P3", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        from ferret_spark.png import decode_png
+
+        try:
+            return decode_png(payload)
+        except NotImplementedError:
+            if _pil_image_module() is None:
+                raise
+            # interlaced / deep-bit PNGs fall through to Pillow
     pil = _pil_image_module()
     if pil is not None:
         import io

@@ -76,9 +76,12 @@ def test_bmp_row_padding():
     assert np.array_equal(decode_image(_bmp_24(arr)), arr)
 
 
-def test_unknown_format_raises():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\nrest")
+def test_codec_bound_format_raises_without_pil():
+    from ferret_spark.pipeline import _pil_image_module
+
+    if _pil_image_module() is None:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0JPEG-ish opaque payload")
 
 
 def test_resize_box_average_exact():
@@ -130,9 +133,10 @@ def test_media_resize_real_pixels_through_spark(spark):
 
 
 def test_pil_feature_flag():
-    """With Pillow importable, compressed codecs decode for real; without
-    it, the NotImplementedError stand-in stays declared. This test follows
-    whichever environment it runs in."""
+    """With Pillow importable, JPEG decodes for real; without it, the
+    NotImplementedError stand-in stays declared. (PNG no longer depends
+    on Pillow at all — the vendored decoder covers it; see test_png.py.)
+    This test follows whichever environment it runs in."""
     import io
 
     import pytest
@@ -142,11 +146,10 @@ def test_pil_feature_flag():
     pil = _pil_image_module()
     if pil is None:
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     else:
         arr = (np.arange(48) % 251).reshape(4, 4, 3).astype(np.uint8)
         buf = io.BytesIO()
-        pil.fromarray(arr).save(buf, format="PNG")
+        pil.fromarray(arr).save(buf, format="JPEG")
         out = decode_image(buf.getvalue())
         assert out.shape == (4, 4, 3)
-        assert (out == arr).all()
