@@ -523,7 +523,14 @@ ANN_BATCH_K = 5
 # literals) and the DuckDB twin (codebook as literals — twin perf is
 # irrelevant), so assignment is bit-identical across engines.
 IVF_CENTROIDS = 16
-IVF_NPROBE = 2
+# Default chosen from the measured recall/nprobe curve (scripts/
+# ann_recall.py, BENCH/ANN_RECALL.md): the smallest nprobe with
+# recall@10 >= 0.8 against brute-force cosine at sf0.1.  On the
+# near-uniform SYNTHETIC embeddings that takes probing half the lists
+# (recall tracks scan fraction when clusters carry little signal); real
+# clustered embeddings reach the same recall at much smaller nprobe, so
+# callers should tune per corpus via the nprobe parameter.
+IVF_NPROBE = 8
 IVF_TRAIN_SAMPLE = 2048
 IVF_TRAIN_ITERS = 8
 
