@@ -21,6 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
 import math
 
 import numpy as np
@@ -58,6 +59,8 @@ from ferret_spark.query import (
 # positional postings; sized so even position-heavy rows stay far under
 # Spark's broadcast memory ceiling
 PHRASE_BROADCAST_DF = 50_000
+
+_log = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -384,6 +387,16 @@ class _Planner:
         order = sorted(range(len(slot_dfs)), key=lambda i: (slot_counts[i], i))
         joined = slot_dfs[order[0]]
         bound = slot_counts[order[0]]
+        if _log.isEnabledFor(logging.DEBUG):
+            _log.debug(
+                "phrase join order (df-ascending): slots=%s dfs=%s "
+                "broadcast=%s (bound=%d, cap=%d)",
+                order,
+                [slot_counts[i] for i in order],
+                bound <= PHRASE_BROADCAST_DF,
+                bound,
+                PHRASE_BROADCAST_DF,
+            )
         for nth, j in enumerate(order[1:]):
             # the row bound (rarest slot's df) does not bound BYTES: each
             # completed join adds a position-array column to the

@@ -667,14 +667,8 @@ class _SegEval:
         per posting list), candidate set via sorted np.intersect1d, the
         candidates' position runs extracted with a ragged gather, then
         the whole-segment batch kernels (phrase_np) score every doc at
-        once.  Only >=3-slot sloppy / repeated-term phrases walk per doc
-        (genuinely sequential semantics)."""
-        from ferret_spark.phrase_np import (
-            exact_freqk_flat,
-            sloppy_freq2_flat,
-            sloppy_freqk_flat,
-        )
-
+        once.  Only repeated-term phrases walk per doc (genuinely
+        sequential semantics)."""
         field = q.field
         empty = (np.empty(0, dtype=np.int64), np.zeros(0), np.zeros(0))
         decs = []
@@ -691,64 +685,7 @@ class _SegEval:
             if len(live) > 1:
                 return None
             decs.append(live[0])
-        cand = decs[0][0]
-        for d in decs[1:]:
-            cand = np.intersect1d(cand, d[0], assume_unique=True)
-        if cand.size == 0:
-            return empty
-        offsets = [off for off, _ in q.positions]
-        repeats = _phrase_repeats(q)
-        k = len(decs)
-        flats, lens = [], []
-        dl = None
-        for j, (local, tfs, (pflat, bounds), dls) in enumerate(decs):
-            if len(cand) == len(local):
-                # every posting doc is a candidate (hot terms co-occur):
-                # the flat stream is already exactly the gather result
-                flats.append(pflat)
-                lens.append(tfs)
-                if j == 0:
-                    dl = dls.astype(np.float64)
-                continue
-            idx = np.searchsorted(local, cand)
-            ln = tfs[idx]
-            starts = bounds[idx]
-            total = int(ln.sum())
-            out_starts = np.concatenate(([0], np.cumsum(ln)[:-1]))
-            gidx = np.repeat(starts - out_starts, ln) + np.arange(
-                total, dtype=np.int64
-            )
-            flats.append(pflat[gidx])
-            lens.append(ln)
-            if j == 0:
-                dl = dls[idx].astype(np.float64)
-        if k == 1:
-            freq = lens[0].astype(np.float64)
-        elif q.slop == 0:
-            freq = exact_freqk_flat(flats, lens, offsets)
-        elif k == 2 and not repeats:
-            freq = sloppy_freq2_flat(
-                flats[0], lens[0], flats[1], lens[1],
-                offsets[0], offsets[1], q.slop,
-            )
-        elif not repeats:
-            # k>=3 sloppy, no repeated terms: lockstep vectorization of
-            # the heap walk — all candidate docs advance one event per
-            # iteration, no per-doc Python
-            freq = sloppy_freqk_flat(flats, lens, offsets, q.slop)
-        else:
-            # repeated-term slots keep the per-doc walk: the repeat
-            # reconciliation (sphsc_check_repeats) mutates sibling
-            # iterators mid-pop and is genuinely sequential
-            freq = np.zeros(len(cand), dtype=np.float64)
-            bnds = [np.concatenate(([0], np.cumsum(l))) for l in lens]
-            for i in range(len(cand)):
-                adjusted = [
-                    (flats[j][bnds[j][i] : bnds[j][i + 1]] - offsets[j]).tolist()
-                    for j in range(k)
-                ]
-                freq[i] = sloppy_phrase_freq(adjusted, offsets, q.slop, repeats)
-        return cand, freq, dl
+        return _phrase_freqs_from_decs(q, decs)
 
     def _phrase_freqs_dict(self, q: PhraseQuery):
         """Dict-built phrase frequencies — the multi-alternative-slot
@@ -841,6 +778,79 @@ def _phrase_repeats(q: PhraseQuery) -> bool:
                 return True
             seen.add(t)
     return False
+
+
+def _phrase_freqs_from_decs(q: PhraseQuery, decs):
+    """Kernel dispatch over per-slot decoded postings: ``decs[j]`` is
+    (ids sorted, tfs, (pos_flat, bounds), dls) in ANY consistent id
+    space (segment-local or global) -> (cand_ids, freqs, dls).  Shared
+    by the per-segment evaluator and the cross-segment phrase path
+    (which passes streams concatenated across a whole segment group)."""
+    from ferret_spark.phrase_np import (
+        exact_freqk_flat,
+        sloppy_freq2_flat,
+        sloppy_freqk_flat,
+    )
+
+    empty = (np.empty(0, dtype=np.int64), np.zeros(0), np.zeros(0))
+    cand = decs[0][0]
+    for d in decs[1:]:
+        cand = np.intersect1d(cand, d[0], assume_unique=True)
+    if cand.size == 0:
+        return empty
+    offsets = [off for off, _ in q.positions]
+    repeats = _phrase_repeats(q)
+    k = len(decs)
+    flats, lens = [], []
+    dl = None
+    for j, (local, tfs, (pflat, bounds), dls) in enumerate(decs):
+        if len(cand) == len(local):
+            # every posting doc is a candidate (hot terms co-occur):
+            # the flat stream is already exactly the gather result
+            flats.append(pflat)
+            lens.append(tfs)
+            if j == 0:
+                dl = dls.astype(np.float64)
+            continue
+        idx = np.searchsorted(local, cand)
+        ln = tfs[idx]
+        starts = bounds[idx]
+        total = int(ln.sum())
+        out_starts = np.concatenate(([0], np.cumsum(ln)[:-1]))
+        gidx = np.repeat(starts - out_starts, ln) + np.arange(
+            total, dtype=np.int64
+        )
+        flats.append(pflat[gidx])
+        lens.append(ln)
+        if j == 0:
+            dl = dls[idx].astype(np.float64)
+    if k == 1:
+        freq = lens[0].astype(np.float64)
+    elif q.slop == 0:
+        freq = exact_freqk_flat(flats, lens, offsets)
+    elif k == 2 and not repeats:
+        freq = sloppy_freq2_flat(
+            flats[0], lens[0], flats[1], lens[1],
+            offsets[0], offsets[1], q.slop,
+        )
+    elif not repeats:
+        # k>=3 sloppy, no repeated terms: lockstep vectorization of
+        # the heap walk — all candidate docs advance one event per
+        # iteration, no per-doc Python
+        freq = sloppy_freqk_flat(flats, lens, offsets, q.slop)
+    else:
+        # repeated-term slots keep the per-doc walk: the repeat
+        # reconciliation (sphsc_check_repeats) mutates sibling
+        # iterators mid-pop and is genuinely sequential
+        freq = np.zeros(len(cand), dtype=np.float64)
+        bnds = [np.concatenate(([0], np.cumsum(l))) for l in lens]
+        for i in range(len(cand)):
+            adjusted = [
+                (flats[j][bnds[j][i] : bnds[j][i + 1]] - offsets[j]).tolist()
+                for j in range(k)
+            ]
+            freq[i] = sloppy_phrase_freq(adjusted, offsets, q.slop, repeats)
+    return cand, freq, dl
 
 
 class _SegEvalTFIDF(_SegEval):
@@ -1367,6 +1377,138 @@ def _pack_deleted(deleted: DataFrame, seg_size: int, seg_schema) -> DataFrame:
     return _pack_ids(deleted, seg_size, seg_schema, "__del__")
 
 
+def _phrase_group_search(
+    index, rq, seg_rows, dfs, avgdl_map, seg_size, n_docs,
+    local_k, k, offset, deleted_set,
+):
+    """Cross-segment phrase scoring: group key = seg_id // G, each group
+    decodes its segments' posting rows per slot, CONCATENATES the flat
+    streams (stored ids are global -> ascending across the group's
+    segments), and runs candidate intersection + the batch kernels ONCE
+    per group via _phrase_freqs_from_decs.  BM25 needs no per-segment
+    state for phrases — global df arrives on the __df__ stub rows, dl
+    rides the posting stream — so the per-segment fixed cost amortizes
+    over G segments.  G targets ~2 groups per core so the group fan-out
+    still saturates the cluster; index.phrase_group_segs overrides (tests
+    force multi-segment groups)."""
+    field = rq.field
+    boost = rq.boost
+    avgdl = avgdl_map.get(field, 1.0)
+    positions = rq.positions
+    n_segs = max(1, -(-n_docs // seg_size))
+    g = getattr(index, "phrase_group_segs", None)
+    if not g:
+        par = index.spark.sparkContext.defaultParallelism
+        g = max(1, n_segs // max(1, par * 2))
+    del_static = (
+        np.fromiter(sorted(deleted_set), dtype=np.int64, count=len(deleted_set))
+        if deleted_set
+        else None
+    )
+
+    def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": np.empty(0, dtype=np.int64), "score": np.empty(0)}
+        )
+        dfs_local = dict(dfs)
+        rows_by_t: dict[str, list] = {}
+        del_parts = [] if del_static is None else [del_static]
+        for r in pdf.to_dict("records"):
+            fld = r["field"]
+            if fld.startswith("__df__:"):
+                dfs_local[(fld[7:], r["term"])] = int(r["df"])
+                continue
+            if fld == "__del__":
+                del_parts.append(
+                    np.frombuffer(bytes(r["doc_bin"]), dtype=np.int64)
+                )
+                continue
+            if fld != field:
+                continue
+            rows_by_t.setdefault(r["term"], []).append(
+                (
+                    int(r["seg_id"]),
+                    {
+                        "doc_bin": bytes(r["doc_bin"]),
+                        "tf_bin": bytes(r["tf_bin"]),
+                        "pos_bin": bytes(r["pos_bin"]),
+                        "dl_bin": bytes(r["dl_bin"]),
+                        "block_meta": [
+                            bm if isinstance(bm, dict) else bm.asDict()
+                            for bm in r["block_meta"]
+                        ],
+                        "df": int(r["df"]),
+                    },
+                )
+            )
+        # idf_sum over GLOBAL dfs in slot/alt order (same float64 add
+        # sequence as the per-segment evaluator and the oracle)
+        idf_sum = 0.0
+        for _, alts in positions:
+            for t in alts:
+                df_ = dfs_local.get((field, t), 0)
+                if df_ > 0:
+                    idf_sum += bm25_idf(df_, n_docs)
+        decs = []
+        for _, alts in positions:
+            parts = rows_by_t.get(alts[0])
+            if not parts:
+                return empty
+            parts.sort(key=lambda p: p[0])
+            decoded = [
+                decode_posting_list(row, with_positions="flat")
+                for _, row in parts
+            ]
+            if len(decoded) == 1:
+                ids, tfs, (pflat, bounds), dls = decoded[0]
+                decs.append((ids, tfs, (pflat, bounds[: len(tfs)]), dls))
+                continue
+            ids = np.concatenate([d[0] for d in decoded])
+            tfs = np.concatenate([d[1] for d in decoded])
+            pflat = np.concatenate([d[2][0] for d in decoded])
+            offs = np.cumsum([0] + [len(d[2][0]) for d in decoded[:-1]])
+            starts = np.concatenate(
+                [d[2][1][: len(d[1])] + o for d, o in zip(decoded, offs)]
+            )
+            dls = np.concatenate([d[3] for d in decoded])
+            decs.append((ids, tfs, (pflat, starts), dls))
+        cand, freq, dl = _phrase_freqs_from_decs(rq, decs)
+        if cand.size == 0:
+            return empty
+        if del_parts:
+            dead = np.concatenate(del_parts)
+            keep = ~np.isin(cand, dead)
+            cand, freq, dl = cand[keep], freq[keep], dl[keep]
+        nz = freq > 0.0
+        f = freq[nz]
+        dd = cand[nz]
+        # same float64 grouping as _eval_phrase
+        s = (
+            boost
+            * idf_sum
+            * (f * (K1 + 1.0))
+            / (f + K1 * (1.0 - B + B * dl[nz] / avgdl))
+        )
+        if local_k is not None and len(dd) > local_k:
+            f32 = s.astype(np.float32)
+            order = np.lexsort((dd, -f32))[:local_k]
+            dd = dd[order]
+            s = s[order]
+        return pd.DataFrame({"doc_id": dd.astype(np.int64), "score": s})
+
+    scored = seg_rows.groupBy(
+        F.floor(F.col("seg_id") / F.lit(int(g))).alias("_grp")
+    ).applyInPandas(score_group, "doc_id long, score double")
+    ranked = scored.select(
+        "doc_id", F.col("score").cast("float").alias("score")
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    if offset:
+        ranked = ranked.offset(offset)
+    if k is not None:
+        ranked = ranked.limit(k)
+    return ranked
+
+
 def segment_search(
     index,
     q: Query,
@@ -1467,11 +1609,17 @@ def segment_search(
         if _needs_absent_dfs(rq):
             # phrase/span idf sums include terms absent from a given
             # segment -> ship EVERY query term's global df to every
-            # matching segment as __df__ stub rows
-            seg_ids_src = (
-                index.segments.select("seg_id").distinct()
-                if needs_all
-                else seg_rows.select("seg_id").distinct()
+            # segment as __df__ stub rows.  Segment ids are doc_id //
+            # seg_size, so the full id range is known DRIVER-SIDE — a
+            # spark.range avoids re-scanning the postings parquet (a
+            # .distinct() over seg_rows was a second full scan + shuffle
+            # per query, ~0.5s at 500k docs).  Stubs landing on segments
+            # with no posting rows form groups that return empty
+            # immediately (a slot is missing), so over-shipping is
+            # harmless.
+            n_segs = max(1, -(-n_docs // seg_size))
+            seg_ids_src = index.spark.range(n_segs).select(
+                F.col("id").cast("long").alias("seg_id")
             )
             df_stubs = seg_ids_src.crossJoin(F.broadcast(ts_small)).select(
                 "seg_id",
@@ -1561,6 +1709,26 @@ def segment_search(
 
     deleted = deleted or set()
     id_ranges = getattr(index, "id_ranges", None) or [[0, n_docs]]
+
+    # plain phrases take the CROSS-SEGMENT batch path: several segments
+    # share one applyInPandas group and their decoded posting streams
+    # concatenate (stored doc ids are global, so per-slot streams stay
+    # sorted), so the fixed per-segment eval cost — row parsing, decode
+    # dispatch, candidate intersect, one kernel invocation — is paid once
+    # per GROUP.  At 2M docs / 488 segments this is the difference
+    # between 488 and ~70 kernel invocations for the same work.
+    if (
+        similarity == "bm25"
+        and post_filter is None
+        and not cached_filters
+        and isinstance(rq, PhraseQuery)
+        and rq.positions
+        and all(len(alts) == 1 for _, alts in rq.positions)
+    ):
+        return _phrase_group_search(
+            index, rq, seg_rows, dfs, avgdl_map, seg_size, n_docs,
+            local_k, k, offset, deleted,
+        )
 
     def score_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
         seg_id = int(key[0])

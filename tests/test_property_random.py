@@ -142,3 +142,36 @@ def test_random_fallback_docset_identity(pair, seed, monkeypatch):
         r["doc_id"] for r in sidx.search(q, k=None, prune=False).collect()
     }
     assert got == exp, f"seed={seed} query={q}"
+
+
+@pytest.mark.parametrize("grp", [2, 4, 16])
+def test_phrase_group_batching_rank_identity(pair, grp):
+    """The cross-segment phrase path with FORCED multi-segment groups
+    (several segments' posting streams concatenated into one kernel
+    invocation) must stay rank- and float32-score-identical to the
+    oracle — same gate as per-segment grouping."""
+    import numpy as np
+
+    oracle, sidx = pair
+    queries = [
+        PhraseQuery.of("content", ["alpha", "beta"]),
+        PhraseQuery.of("content", ["alpha", "beta"], slop=2),
+        PhraseQuery.of("content", ["alpha", "beta", "gamma"], slop=3),
+        PhraseQuery.of("content", ["run", None, "theta"], slop=1),
+    ]
+    old = getattr(sidx, "phrase_group_segs", None)
+    sidx.phrase_group_segs = grp
+    try:
+        for q in queries:
+            expected = oracle.search(q, k=25)
+            got = [
+                (r["doc_id"], r["score"])
+                for r in sidx.search(q, k=25).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in expected], (
+                grp, q, got, expected,
+            )
+            for (gd, gs), (_ed, es) in zip(got, expected):
+                assert np.float32(gs) == np.float32(es), (grp, q, gd)
+    finally:
+        sidx.phrase_group_segs = old
