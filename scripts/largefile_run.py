@@ -63,7 +63,14 @@ def main():
     sampler = RssSampler()
     sampler.start()
     t_all = time.time()
-    tmp = tempfile.mkdtemp(prefix="ferret_large_")
+    # FERRET_LARGE_DIR: persist the index there and REUSE it if already
+    # built (iteration mode for query-time work — skips the ~40min build
+    # and the MD write; the committed evidence run is always a fresh
+    # build into a temp dir)
+    keep_dir = os.environ.get("FERRET_LARGE_DIR")
+    tmp = keep_dir or tempfile.mkdtemp(prefix="ferret_large_")
+    if keep_dir:
+        os.makedirs(tmp, exist_ok=True)
     spark = get_spark(
         master=f"local[{CPUS}]",
         shuffle_partitions=max(32, CPUS * 2),
@@ -80,7 +87,10 @@ def main():
     batches = []
     gen_history = []
     t_build = 0.0
-    for b in range(N_BATCHES):
+    reused = idx.size() == N_DOCS
+    if reused:
+        print(json.dumps({"reused": tmp, "docs": idx.size()}), flush=True)
+    for b in range(0 if not reused else N_BATCHES, N_BATCHES):
         # deterministic, batch-distinct corpus slice (seed offset via the
         # id range); per-batch local ids 0..batch_n-1, FerretIndex assigns
         # the global base
@@ -188,7 +198,7 @@ def main():
         f"{batch_n:,}, local[{CPUS}], seg_size 4096, merge_factor 4 "
         "(tiered geometric policy collapses every 4 same-tier generations)",
         f"- **total build wall: {t_build:.0f}s** "
-        f"({n / t_build:,.0f} docs/s incl. merges), index on disk "
+        f"({n / max(t_build, 1e-9):,.0f} docs/s incl. merges), index on disk "
         f"{idx_bytes / 1e9:.2f} GB",
         f"- peak RSS: driver python {sampler.peak_py / 1e6:.2f} GB, "
         f"JVM {sampler.peak_jvm / 1e6:.2f} GB",
@@ -230,16 +240,18 @@ def main():
     for name, r in spot.items():
         md.append(f"| {name} | {r} |")
     md += ["", f"Total run wall: {wall_total:.0f}s.", ""]
-    os.makedirs(os.path.dirname(OUT_MD), exist_ok=True)
-    with open(OUT_MD, "w") as f:
-        f.write("\n".join(md))
+    if not reused:  # iteration mode never overwrites the evidence MD
+        os.makedirs(os.path.dirname(OUT_MD), exist_ok=True)
+        with open(OUT_MD, "w") as f:
+            f.write("\n".join(md))
     print(json.dumps({
         "docs": n, "build_sec": round(t_build, 1),
         "gens": gen_history, "bytes_gb": round(idx_bytes / 1e9, 2),
         "lat": lat, "spot": spot,
         "peak_jvm_gb": round(sampler.peak_jvm / 1e6, 2),
     }))
-    shutil.rmtree(tmp, ignore_errors=True)
+    if not keep_dir:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
