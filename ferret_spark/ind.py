@@ -496,7 +496,7 @@ class FerretIndex:
 
             del_rows = _pack_deleted(deleted_df, self.seg_size, segs.schema)
 
-            def rewrite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            def rewrite(key, pdf):  # no hints: pyspark warns on partial grouped-map hints
                 ids_del = np.empty(0, dtype=np.int64)
                 for _, r in pdf[pdf["field"] == "__del__"].iterrows():
                     ids_del = np.frombuffer(bytes(r["doc_bin"]), dtype=np.int64)

@@ -64,6 +64,8 @@ sequence, so the float64 sums are bit-identical to the reference walk.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 __all__ = [
@@ -73,7 +75,53 @@ __all__ = [
     "sloppy_freqk_flat",
     "exact_freqk_batch",
     "exact_freqk_flat",
+    "chunk_rows",
 ]
+
+# Target total position count per kernel invocation.  The static kernels
+# allocate ~25 full-length temporaries; called over a whole cross-segment
+# group's candidate set those walk DRAM, and with every core running one
+# such call the memory bus saturates (measured: batching segments 7x made
+# the sloppy kernel SLOWER while the cheaper exact kernel sped up).  Rows
+# are scored independently, so the dispatch slices row blocks of ~this
+# many positions — temporaries stay cache-resident and the per-call numpy
+# overhead (~100 ufunc dispatches) amortizes over thousands of rows.
+CHUNK_TARGET = int(os.environ.get("FERRET_PHRASE_CHUNK", str(1 << 15)))
+
+
+def chunk_rows(lens_list, target: int | None = None):
+    """Yield (row_start, row_end) blocks whose total position count
+    (summed over all slots) stays ~``target``.  A row larger than the
+    target gets its own block — blocks never split a row."""
+    target = CHUNK_TARGET if target is None else target
+    n = len(lens_list[0])
+    tot = np.zeros(n + 1, dtype=np.int64)
+    for l in lens_list:
+        tot[1:] += np.asarray(l, dtype=np.int64)
+    np.cumsum(tot, out=tot)
+    if tot[n] <= target:
+        yield 0, n
+        return
+    s = 0
+    while s < n:
+        e = int(np.searchsorted(tot, tot[s] + target, side="right")) - 1
+        e = max(e, s + 1)
+        yield s, min(e, n)
+        s = e
+
+
+def _chunked(kernel, flats, lens, target=None):
+    """Run a flat kernel over row blocks (rows score independently).
+    ``kernel(fl_list, ln_list) -> freq`` receives per-slot slices."""
+    n = len(lens[0])
+    out = np.empty(n, dtype=np.float64)
+    cs = [np.concatenate(([0], np.cumsum(l))) for l in lens]
+    for s, e in chunk_rows(lens, target):
+        out[s:e] = kernel(
+            [flats[j][cs[j][s] : cs[j][e]] for j in range(len(flats))],
+            [lens[j][s:e] for j in range(len(lens))],
+        )
+    return out
 
 
 def _flatten(arrs):
@@ -102,7 +150,20 @@ def sloppy_freq2_flat(fa, la, fb, lb, off_a: int, off_b: int, slop: int):
     """Flat-input form of sloppy_freq2_batch: ``fa``/``fb`` are the two
     slots' position values concatenated across rows, ``la``/``lb`` the
     per-row lengths (same number of rows).  Static event formulation —
-    see the module docstring."""
+    see the module docstring.  Dispatches in cache-sized row blocks
+    (rows are independent; see CHUNK_TARGET)."""
+    fa, fb = np.asarray(fa, dtype=np.int64), np.asarray(fb, dtype=np.int64)
+    la, lb = np.asarray(la, dtype=np.int64), np.asarray(lb, dtype=np.int64)
+    return _chunked(
+        lambda fl, ln: _sloppy_freq2_core(
+            fl[0], ln[0], fl[1], ln[1], off_a, off_b, slop
+        ),
+        [fa, fb],
+        [la, lb],
+    )
+
+
+def _sloppy_freq2_core(fa, la, fb, lb, off_a: int, off_b: int, slop: int):
     n = len(la)
     out = np.zeros(n, dtype=np.float64)
     if n == 0:
@@ -314,7 +375,25 @@ def sloppy_freqk_flat(flats_in, lens_in, offsets, slop: int):
     accumulate per document in event order, so the float64 sums are
     bit-identical to the reference walk.  Equivalence is property-tested
     exhaustively against oracle.sloppy_phrase_freq for k in {2,3,4,5}
-    (tests/test_phrase_np.py)."""
+    (tests/test_phrase_np.py).
+
+    Dispatches in cache-sized row blocks (rows are independent; see
+    CHUNK_TARGET) — chunking also keeps one event-heavy row from dragging
+    the whole batch through its lockstep iteration count."""
+    k = len(flats_in)
+    n = len(lens_in[0]) if k else 0
+    if n == 0 or k == 0:
+        return np.zeros(n, dtype=np.float64)
+    flats = [np.asarray(f, dtype=np.int64) for f in flats_in]
+    lens_a = [np.asarray(l, dtype=np.int64) for l in lens_in]
+    return _chunked(
+        lambda fl, ln: _sloppy_freqk_core(fl, ln, offsets, slop),
+        flats,
+        lens_a,
+    )
+
+
+def _sloppy_freqk_core(flats_in, lens_in, offsets, slop: int):
     k = len(flats_in)
     n = len(lens_in[0]) if k else 0
     out = np.zeros(n, dtype=np.float64)
@@ -409,7 +488,21 @@ def exact_freqk_batch(slot_arrs, offsets):
 def exact_freqk_flat(flats_in, lens_in, offsets):
     """Flat-input form of exact_freqk_batch: per slot j, ``flats_in[j]``
     holds the positions concatenated across rows and ``lens_in[j]`` the
-    per-row lengths."""
+    per-row lengths.  Dispatches in cache-sized row blocks (rows are
+    independent; see CHUNK_TARGET) — also caps the lexsort at block
+    size."""
+    k = len(flats_in)
+    n = len(lens_in[0]) if k else 0
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    flats = [np.asarray(f, dtype=np.int64) for f in flats_in]
+    lens_a = [np.asarray(l, dtype=np.int64) for l in lens_in]
+    return _chunked(
+        lambda fl, ln: _exact_freqk_core(fl, ln, offsets), flats, lens_a
+    )
+
+
+def _exact_freqk_core(flats_in, lens_in, offsets):
     k = len(flats_in)
     n = len(lens_in[0]) if k else 0
     if n == 0:

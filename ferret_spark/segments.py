@@ -288,7 +288,7 @@ def build_segments(
         for f, a in field_config.items()
     }
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key, pdf):  # no hints: pyspark warns on partial grouped-map hints
         return invert_partition(pdf, fc, int(key[0]))
 
     return src.groupBy("seg_id").applyInPandas(fn, SEGMENT_SCHEMA)

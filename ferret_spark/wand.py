@@ -1342,7 +1342,7 @@ def _pack_ids(
     posting rows, so a bulk id set (10^9 ids) never touches the driver and
     each scoring task sees only its own segment's slice."""
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack(key, pdf):  # no hints: pyspark warns on partial grouped-map hints
         ids = np.sort(pdf["doc_id"].to_numpy().astype(np.int64))
         return pd.DataFrame(
             [
@@ -1406,7 +1406,7 @@ def _phrase_group_search(
         else None
     )
 
-    def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_group(key, pdf):  # no hints: pyspark warns on partial grouped-map hints
         empty = pd.DataFrame(
             {"doc_id": np.empty(0, dtype=np.int64), "score": np.empty(0)}
         )
@@ -1730,7 +1730,7 @@ def segment_search(
             local_k, k, offset, deleted,
         )
 
-    def score_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_segment(key, pdf):  # no hints: pyspark warns on partial grouped-map hints
         seg_id = int(key[0])
         base = seg_id * seg_size
         seg_n = seg_size
