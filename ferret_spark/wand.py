@@ -1377,6 +1377,51 @@ def _pack_deleted(deleted: DataFrame, seg_size: int, seg_schema) -> DataFrame:
     return _pack_ids(deleted, seg_size, seg_schema, "__del__")
 
 
+_BALANCED_KEY_CACHE: dict = {}
+
+
+def _balanced_group_keys(spark) -> list[int]:
+    """LONG group keys whose shuffle-hash partitions — pmod(hash(key), P)
+    for P = spark.sql.shuffle.partitions — are exactly 0..P-1, one each.
+    Grouping by these keys places one group per reduce partition, so a
+    ~P-group applyInPandas stage runs perfectly level instead of the
+    balls-in-bins layout hash keys give (max 3-4 groups on one partition
+    at m ~= P).  Found with one tiny spark.range probe job — the probe
+    evaluates the same Murmur3(seed 42) the shuffle's HashPartitioning
+    uses, so the mapping is exact by construction and robust to hash
+    version changes.  Cached per (application, P)."""
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ck = (spark.sparkContext.applicationId, P)
+    keys = _BALANCED_KEY_CACHE.get(ck)
+    if keys is None:
+        span = max(4096, P * 16)
+        rows = (
+            spark.range(span)
+            .select(
+                F.col("id"),
+                F.pmod(F.hash(F.col("id")), F.lit(P)).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.min("id").alias("k"))
+            .collect()
+        )
+        by_p = {int(r["p"]): int(r["k"]) for r in rows}
+        # a partition missing from the sample (P(empty) ~ e^-16 at the
+        # 16x oversample) just shrinks the usable group count
+        keys = [by_p[i] for i in range(P) if i in by_p]
+        _BALANCED_KEY_CACHE[ck] = keys
+    return keys
+
+
+def _n_segs_span(index, n_docs: int, seg_size: int) -> int:
+    """Segment-id span [0, n_segs): derived from id_ranges' max id, NOT
+    from the doc count — incremental adds align each batch to the next
+    segment boundary, so doc-id gaps make max_id exceed n_docs."""
+    ranges = getattr(index, "id_ranges", None) or [[0, n_docs]]
+    max_id = max(hi for _, hi in ranges)
+    return max(1, -(-max_id // seg_size))
+
+
 def _phrase_group_search(
     index, rq, seg_rows, dfs, avgdl_map, seg_size, n_docs,
     local_k, k, offset, deleted_set,
@@ -1395,11 +1440,29 @@ def _phrase_group_search(
     boost = rq.boost
     avgdl = avgdl_map.get(field, 1.0)
     positions = rq.positions
-    n_segs = max(1, -(-n_docs // seg_size))
+    n_segs = _n_segs_span(index, n_docs, seg_size)
     g = getattr(index, "phrase_group_segs", None)
-    if not g:
-        par = index.spark.sparkContext.defaultParallelism
-        g = max(1, n_segs // max(1, par * 2))
+    if g:
+        # test override: exact seg_id // G group shapes
+        grp_expr = F.floor(F.col("seg_id") / F.lit(int(g)))
+    else:
+        # contiguous seg ranges keyed by ENGINEERED group keys whose
+        # shuffle hash lands one group per reduce partition: with ~P
+        # hash-keyed groups in P partitions, balls-in-bins collisions put
+        # 3-4 groups on one partition while others idle — the reduce
+        # stage's critical path triples for nothing
+        keys = _balanced_group_keys(index.spark)
+        n_groups = max(1, min(n_segs, len(keys)))
+        slot = F.floor(
+            F.col("seg_id") * F.lit(int(n_groups)) / F.lit(int(n_segs))
+        ).cast("int")
+        # defensive clamp: an out-of-range element_at yields a NULL key
+        # that would silently pool stray segments into one group
+        slot = F.least(slot, F.lit(n_groups - 1))
+        grp_expr = F.element_at(
+            F.array(*[F.lit(int(kk)).cast("long") for kk in keys[:n_groups]]),
+            slot + F.lit(1),
+        )
     del_static = (
         np.fromiter(sorted(deleted_set), dtype=np.int64, count=len(deleted_set))
         if deleted_set
@@ -1496,9 +1559,9 @@ def _phrase_group_search(
             s = s[order]
         return pd.DataFrame({"doc_id": dd.astype(np.int64), "score": s})
 
-    scored = seg_rows.groupBy(
-        F.floor(F.col("seg_id") / F.lit(int(g))).alias("_grp")
-    ).applyInPandas(score_group, "doc_id long, score double")
+    scored = seg_rows.groupBy(grp_expr.alias("_grp")).applyInPandas(
+        score_group, "doc_id long, score double"
+    )
     ranked = scored.select(
         "doc_id", F.col("score").cast("float").alias("score")
     ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -1616,8 +1679,13 @@ def segment_search(
             # per query, ~0.5s at 500k docs).  Stubs landing on segments
             # with no posting rows form groups that return empty
             # immediately (a slot is missing), so over-shipping is
-            # harmless.
-            n_segs = max(1, -(-n_docs // seg_size))
+            # harmless.  The range MUST cover id_ranges' max, not
+            # ceil(n_docs/seg_size): incremental adds align each batch to
+            # the next segment boundary, so doc-id GAPS push the last
+            # segments past the count-derived bound — a stub range keyed
+            # on n_docs starves those segments of global dfs and their
+            # phrase matches silently score idf_sum = 0.
+            n_segs = _n_segs_span(index, n_docs, seg_size)
             seg_ids_src = index.spark.range(n_segs).select(
                 F.col("id").cast("long").alias("seg_id")
             )

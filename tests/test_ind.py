@@ -273,3 +273,45 @@ def test_all_keyword_field_config_stats(spark, tmp_path):
     idx.delete_by_term("tag", "t2")
     idx.optimize()
     assert idx.size() == 6
+
+
+def test_phrase_df_stubs_cover_gap_pushed_segments(spark, tmp_path):
+    """Incremental adds align each batch to the next segment boundary, so
+    doc-id GAPS push the last segments past ceil(n_docs / seg_size).  The
+    phrase path ships global dfs as per-segment stub rows from a driver-side
+    range — if that range is derived from the doc COUNT instead of the id
+    SPAN, segments past the count-derived bound get no dfs and their phrase
+    matches silently score idf_sum = 0 (regression: spark.range(n_segs)
+    replacing the data-derived distinct())."""
+    import numpy as np
+
+    from ferret_spark.query import PhraseQuery
+
+    fc = {"content": "whitespace"}
+    rows1 = [
+        {"doc_id": i, "content": f"apple banana filler{i}"} for i in range(5)
+    ]
+    rows2 = [
+        {"doc_id": i, "content": f"cherry date filler{i + 5}"}
+        for i in range(4)
+    ] + [{"doc_id": 4, "content": "grape kiwi lemon"}]
+    idx = FerretIndex(spark, str(tmp_path / "gap"), fc, seg_size=4)
+    idx.add_documents(spark.createDataFrame(rows1), doc_id_col="doc_id")
+    idx.add_documents(spark.createDataFrame(rows2), doc_id_col="doc_id")
+    # n_docs = 10 -> ceil(10/4) = 3 segments, but batch 2 starts at id 8,
+    # so its last doc (global id 12) lives in segment 3 — past that bound
+    assert idx.size() == 10
+    assert max(hi for _, hi in idx.index.id_ranges) > idx.size()
+    hits = idx.search(
+        PhraseQuery.of("content", ["grape", "kiwi"]), k=5
+    ).collect()
+    assert [r["doc_id"] for r in hits] == [12]
+    all_rows = [{"content": r["content"]} for r in rows1 + rows2]
+    oracle = OracleIndex(all_rows, fc)
+    exp = oracle.search(PhraseQuery.of("content", ["grape", "kiwi"]), k=5)
+    assert np.float32(hits[0]["score"]) == np.float32(exp[0][1])
+    # sloppy variant exercises the same stub plumbing
+    sh = idx.search(
+        PhraseQuery.of("content", ["grape", "lemon"], slop=1), k=5
+    ).collect()
+    assert [r["doc_id"] for r in sh] == [12] and sh[0]["score"] > 0
