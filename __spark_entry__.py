@@ -251,6 +251,46 @@ def _q_bool(kind: str, t1: str, t2: str):
     return f
 
 
+def _q_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four queries (term / AND / OR / NOT) answered by ONE Spark job:
+    batch_search shares one pushed postings scan + one (query_id, doc_id)
+    aggregation across the batch. Per-query results are bit-identical to
+    the single-query planner, so the SQL twin is just the four
+    single-query twins stacked with a query_id column."""
+    from ferret_spark.batch import batch_search
+    from ferret_spark.query import MUST, MUST_NOT, SHOULD, BooleanQuery, TermQuery
+
+    def tt(t):
+        return TermQuery(field="text", term=t)
+
+    qs = [
+        tt("spark"),
+        BooleanQuery.of((tt("scan"), MUST), (tt("join"), MUST)),
+        BooleanQuery.of((tt("spark"), SHOULD), (tt("stream"), SHOULD)),
+        BooleanQuery.of((tt("scan"), MUST), (tt("join"), MUST_NOT)),
+    ]
+    out = batch_search(_get_index(spark, sf_dir), qs, k=K, score_round=4)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "rank",
+        "doc_id",
+        "score",
+    )
+
+
+def _sql_search_batch(k: int = K) -> str:
+    parts = [
+        (0, _sql_term("spark", k)),
+        (1, _sql_bool_and("scan", "join", k)),
+        (2, _sql_bool_or("spark", "stream", k)),
+        (3, _sql_bool_not("scan", "join", k)),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS query_id, sub.* FROM ({sql}) sub"
+        for i, sql in parts
+    )
+
+
 def _q_phrase(t1: str, t2: str):
     def f(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ferret_spark.query import PhraseQuery
@@ -1814,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_and": _q_bool("and", "scan", "join"),
         "ft_bool_or": _q_bool("or", "spark", "stream"),
         "ft_bool_not": _q_bool("not", "scan", "join"),
+        "ft_search_batch": _q_search_batch,
         "ft_phrase": _q_phrase("table", "hash"),
         "ft_phrase_slop": _q_phrase_slop("table", "hash", 2),
         "ft_phrase_slop3": _q_phrase_slopk(["table", "hash", "key"], 3),
@@ -1867,6 +1908,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bool_and": _sql_bool_and("scan", "join"),
         "ft_bool_or": _sql_bool_or("spark", "stream"),
         "ft_bool_not": _sql_bool_not("scan", "join"),
+        "ft_search_batch": _sql_search_batch(),
         "ft_phrase": _sql_phrase("table", "hash"),
         "ft_phrase_slop": _sql_phrase_slop("table", "hash", 2),
         "ft_phrase_slop3": _sql_phrase_slop3("table", "hash", "key", 3),
