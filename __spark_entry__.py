@@ -252,13 +252,22 @@ def _q_bool(kind: str, t1: str, t2: str):
 
 
 def _q_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four queries (term / AND / OR / NOT) answered by ONE Spark job:
-    batch_search shares one pushed postings scan + one (query_id, doc_id)
-    aggregation across the batch. Per-query results are bit-identical to
-    the single-query planner, so the SQL twin is just the four
-    single-query twins stacked with a query_id column."""
+    """Six queries (term / AND / OR / NOT / exact phrase / sloppy phrase)
+    answered by ONE Spark job: batch_search shares one pushed tf scan
+    across the term/bool queries, ONE positional scan across the phrases
+    (candidate semi-join from the rarest slots), and one (query_id,
+    doc_id) aggregation per scan kind. Per-query results are
+    bit-identical to the single-query planner, so the SQL twin is just
+    the six single-query twins stacked with a query_id column."""
     from ferret_spark.batch import batch_search
-    from ferret_spark.query import MUST, MUST_NOT, SHOULD, BooleanQuery, TermQuery
+    from ferret_spark.query import (
+        MUST,
+        MUST_NOT,
+        SHOULD,
+        BooleanQuery,
+        PhraseQuery,
+        TermQuery,
+    )
 
     def tt(t):
         return TermQuery(field="text", term=t)
@@ -268,6 +277,8 @@ def _q_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         BooleanQuery.of((tt("scan"), MUST), (tt("join"), MUST)),
         BooleanQuery.of((tt("spark"), SHOULD), (tt("stream"), SHOULD)),
         BooleanQuery.of((tt("scan"), MUST), (tt("join"), MUST_NOT)),
+        PhraseQuery.of("text", ["table", "hash"]),
+        PhraseQuery.of("text", ["table", "hash"], slop=2),
     ]
     out = batch_search(_get_index(spark, sf_dir), qs, k=K, score_round=4)
     return out.select(
@@ -284,6 +295,8 @@ def _sql_search_batch(k: int = K) -> str:
         (1, _sql_bool_and("scan", "join", k)),
         (2, _sql_bool_or("spark", "stream", k)),
         (3, _sql_bool_not("scan", "join", k)),
+        (4, _sql_phrase("table", "hash", k)),
+        (5, _sql_phrase_slop("table", "hash", 2, k)),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT {i}::BIGINT AS query_id, sub.* FROM ({sql}) sub"

@@ -39,8 +39,15 @@ OUT_MD = os.path.join(
 def _mk_queries(idx, n):
     """Deterministic mixed workload: terms drawn from the index's own
     term dictionary ordered by df desc (hot -> mid), plus AND / OR / NOT
-    combinations of adjacent picks."""
-    from ferret_spark.query import MUST, MUST_NOT, SHOULD, BooleanQuery, TermQuery
+    and exact/sloppy phrase combinations of adjacent picks."""
+    from ferret_spark.query import (
+        MUST,
+        MUST_NOT,
+        SHOULD,
+        BooleanQuery,
+        PhraseQuery,
+        TermQuery,
+    )
 
     rows = (
         idx.term_stats.where("field = 'text'")
@@ -57,15 +64,19 @@ def _mk_queries(idx, n):
     i = 0
     while len(qs) < n:
         t1, t2 = terms[(2 * i) % len(terms)], terms[(2 * i + 1) % len(terms)]
-        kind = i % 4
+        kind = i % 6
         if kind == 0:
             qs.append(tt(t1))
         elif kind == 1:
             qs.append(BooleanQuery.of((tt(t1), MUST), (tt(t2), MUST)))
         elif kind == 2:
             qs.append(BooleanQuery.of((tt(t1), SHOULD), (tt(t2), SHOULD)))
-        else:
+        elif kind == 3:
             qs.append(BooleanQuery.of((tt(t1), MUST), (tt(t2), MUST_NOT)))
+        elif kind == 4:
+            qs.append(PhraseQuery.of("text", [t1, t2]))
+        else:
+            qs.append(PhraseQuery.of("text", [t1, t2], slop=8))
         i += 1
     return qs
 
@@ -135,7 +146,8 @@ def main():
         f"- corpus: {SF_DIR} documents ({idx.n_docs} docs), "
         f"local[{CPUS}], index build+warm {t_build:.1f}s",
         "- workload: terms from the index's own df-desc term dictionary; "
-        "mix of 1/4 term, 1/4 AND, 1/4 OR, 1/4 NOT queries",
+        "mix of term / AND / OR / NOT / exact-phrase / sloppy-phrase "
+        "(1/6 each)",
         "- sequential = one plan_topk job per query (the per-query latency "
         "path); batch = ONE batch_search job for the whole set",
         "- every batched result verified equal to its single-query twin "
@@ -152,12 +164,14 @@ def main():
         )
     lines += [
         "",
-        "At 1000 executors the same plan holds: one term-pushed scan "
-        "bounded by the union of query terms, a broadcast clause table, "
-        "one partial-combined (query_id, doc_id) aggregation, one "
-        "per-query top-k window — per-query fixed cost (job submission, "
-        "scan setup, collect) is paid once per BATCH instead of once per "
-        "query.",
+        "At 1000 executors the same plan holds: one term-pushed tf scan "
+        "bounded by the union of query terms, ONE positional scan for "
+        "all phrases (candidate semi-join drops hot-slot postings "
+        "map-side), a broadcast clause table, one partial-combined "
+        "(query_id, doc_id) aggregation, one mapInPandas kernel "
+        "dispatch, one per-query top-k window — per-query fixed cost "
+        "(job submission, scan setup, collect) is paid once per BATCH "
+        "instead of once per query.",
         "",
     ]
     with open(OUT_MD, "w") as f:

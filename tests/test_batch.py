@@ -43,6 +43,18 @@ BATCH = [
     PrefixQuery(field="content", prefix="word"),  # rewrite -> MultiTermQuery
     WildcardQuery(field="content", pattern="w*d2"),
     FuzzyQuery(field="content", term="worde", min_sim=0.5),
+    # phrases: their own positional scan + per-qid kernel dispatch
+    PhraseQuery.of("content", ["quick", "brown"]),              # exact 2-slot
+    PhraseQuery.of("content", ["word1", "word3"], slop=4),      # sloppy 2-slot
+    PhraseQuery.of("content", ["quick", "brown", "fox"], slop=3),  # k=3 sloppy
+    PhraseQuery.of("content", ["word1", "word2", "word1"], slop=5),  # repeats
+    PhraseQuery.of("content", ["word2"]),                       # 1-slot
+    PhraseQuery.of("content", ["word1", "zzzzz"]),              # dead slot
+    PhraseQuery(  # multi-alternative slot + skip offset
+        field="content",
+        positions=((0, ("quick", "word1")), (2, ("fox", "word3"))),
+        slop=6,
+    ),
 ]
 
 K = 25
@@ -97,12 +109,16 @@ def test_batch_score_round_mode(sidx):
 @pytest.mark.parametrize(
     "bad",
     [
-        PhraseQuery.of("content", ["quick", "brown"]),
         MatchAllQuery(),
         # a single-clause inner boolean flattens in spark_rewrite, so the
         # genuinely-nested case needs >=2 inner clauses
         BooleanQuery.of(
             (BooleanQuery.of((T("word1"), SHOULD), (T("word3"), SHOULD)), MUST),
+            (T("word2"), MUST),
+        ),
+        # phrases batch top-level only, not as boolean clauses
+        BooleanQuery.of(
+            (PhraseQuery.of("content", ["quick", "brown"]), MUST),
             (T("word2"), MUST),
         ),
     ],
@@ -133,4 +149,33 @@ def test_batch_single_postings_scan(spark, tmp_path):
     assert n_file_scans == 1, plan
     # the union term predicate reaches the scan (rowgroup pruning tier)
     assert "term" in plan and " IN (" in plan, plan
+    df.collect()  # and it actually runs
+
+
+def test_batch_phrase_plan_shape(spark, tmp_path):
+    """A mixed term+phrase batch must stay bounded-scan: one tf-only
+    postings scan for the term queries, one positional scan for ALL
+    phrases, one candidate scan for the rarest-slot semi-join (3 total,
+    independent of batch size), and exactly one Python eval node (the
+    mapInPandas kernel dispatch) regardless of how many phrases batch."""
+    rows = golden_rows()
+    corpus = spark.createDataFrame(
+        [dict(r, doc_id=i) for i, r in enumerate(rows)]
+    )
+    idx = SparkIndex.build(spark, corpus, GOLDEN_FIELD_CONFIG, doc_id_col="doc_id")
+    path = str(tmp_path / "pidx")
+    idx.save(path)
+    loaded = SparkIndex.load(spark, path)
+    batch = [
+        T("word1"),
+        BooleanQuery.of((T("word2"), MUST), (T("word3"), SHOULD)),
+        PhraseQuery.of("content", ["quick", "brown"]),
+        PhraseQuery.of("content", ["word1", "word3"], slop=4),
+        PhraseQuery.of("content", ["quick", "brown", "fox"], slop=2),
+    ]
+    df = batch_search(loaded, batch, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 3, plan
+    n_py = plan.count("MapInPandas") + plan.count("ArrowEvalPython")
+    assert n_py == 1, plan
     df.collect()  # and it actually runs
