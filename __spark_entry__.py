@@ -1001,14 +1001,16 @@ def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank, doc_id, score, boost, idf, tf_norm). The SQL twin recomputes
     every component, so the explain machinery — not just the final
     score — is cross-engine-checked."""
-    from ferret_spark.highlight import explain
+    from ferret_spark.highlight import explain_many
     from ferret_spark.query import TermQuery
 
     idx = _get_index(spark, sf_dir)
     q = TermQuery(field="text", term="spark")
+    top = _topk(idx, q, k=5).collect()
+    exps = explain_many(idx, q, [r["doc_id"] for r in top])
     rows = []
-    for r in _topk(idx, q, k=5).collect():
-        ex = explain(idx, q, r["doc_id"])
+    for r in top:
+        ex = exps[r["doc_id"]]
         det = {d.description.split("(")[0]: d.value for d in ex.details}
         rows.append(
             (
@@ -1035,7 +1037,7 @@ def _q_explain_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution), with the clause contributions summing to the score.
     Cross-checks the BooleanQuery and PhraseQuery explain nodes
     (searcher explain trees, c/src/search.c:13-79), not just TermQuery."""
-    from ferret_spark.highlight import explain
+    from ferret_spark.highlight import explain_many
     from ferret_spark.query import MUST, SHOULD, BooleanQuery, PhraseQuery, TermQuery
 
     idx = _get_index(spark, sf_dir)
@@ -1043,9 +1045,11 @@ def _q_explain_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         (TermQuery(field="text", term="scan"), MUST),
         (PhraseQuery.of("text", ["table", "hash"]), SHOULD),
     )
+    top = _topk(idx, q, k=5).collect()
+    exps = explain_many(idx, q, [r["doc_id"] for r in top])
     rows = []
-    for r in _topk(idx, q, k=5).collect():
-        ex = explain(idx, q, r["doc_id"])
+    for r in top:
+        ex = exps[r["doc_id"]]
         t_idf = t_tfn = t_val = p_freq = p_idf = p_tfn = p_val = 0.0
         for d in ex.details:
             if d.description.startswith("weight("):

@@ -639,32 +639,48 @@ def explain(index, q: Query, doc_id: int) -> Explanation:
     """Score decomposition for one doc — recomputes from global stats +
     that doc's postings (searcher.explain analog). Works on SegmentIndex
     and SparkIndex."""
+    return explain_many(index, q, [doc_id])[doc_id]
+
+
+def explain_many(index, q: Query, doc_ids) -> dict:
+    """Explanations for MANY docs from ONE postings fetch: the typical
+    caller explains a whole top-k page, and per-doc fetches would pay the
+    fixed job cost k times.  Returns {doc_id: Explanation}."""
     from ferret_spark.query import query_terms
     from ferret_spark.search import spark_rewrite
 
+    doc_ids = list(doc_ids)
     rq = spark_rewrite(index, q)
     pairs = sorted(set(query_terms(rq)))
     dfs = index.doc_freqs(pairs)
     n = index.n_docs
-    # per-(field,term) tf/dl/positions for this doc
-    doc_info = _doc_postings(index, pairs, doc_id)
-    return _explain_node(rq, dfs, n, index, doc_info, doc_id)
+    infos = _doc_postings_many(index, pairs, doc_ids)
+    return {
+        d: _explain_node(rq, dfs, n, index, infos.get(d, {}), d)
+        for d in doc_ids
+    }
 
 
-def _doc_postings(index, pairs, doc_id):
+def _doc_postings_many(index, pairs, doc_ids):
+    """{doc_id: {(field, term): {tf, dl, positions}}} for every requested
+    doc, from one pushed scan (seg_id/doc_id IN-filters)."""
     from pyspark.sql import functions as F
 
-    info = {}
-    if not pairs:
-        return info
+    infos = {d: {} for d in doc_ids}
+    if not pairs or not doc_ids:
+        return infos
     fields = sorted({f for f, _ in pairs})
     terms = sorted({t for _, t in pairs})
     if hasattr(index, "segments"):
+        import numpy as np
+
         from ferret_spark.codec import decode_posting_list
 
-        seg = doc_id // index.seg_size
+        by_seg: dict[int, list] = {}
+        for d in doc_ids:
+            by_seg.setdefault(d // index.seg_size, []).append(d)
         rows = index.segments.where(
-            (F.col("seg_id") == seg)
+            F.col("seg_id").isin(sorted(by_seg))
             & F.col("field").isin(fields)
             & F.col("term").isin(terms)
         ).collect()
@@ -678,32 +694,30 @@ def _doc_postings(index, pairs, doc_id):
                 "df": r["df"],
             }
             ids, tfs, pos, dls = decode_posting_list(row)
-            import numpy as np
-
-            hit = np.flatnonzero(ids == doc_id)
-            if len(hit):
-                i = int(hit[0])
-                bounds = np.concatenate(([0], np.cumsum(tfs)))
-                info[(r["field"], r["term"])] = {
-                    "tf": int(tfs[i]),
-                    "dl": int(dls[i]) if dls is not None else 1,
-                    "positions": list(map(int, pos[i])) if pos else [],
-                }
+            for d in by_seg[r["seg_id"]]:
+                hit = np.flatnonzero(ids == d)
+                if len(hit):
+                    i = int(hit[0])
+                    infos[d][(r["field"], r["term"])] = {
+                        "tf": int(tfs[i]),
+                        "dl": int(dls[i]) if dls is not None else 1,
+                        "positions": list(map(int, pos[i])) if pos else [],
+                    }
     else:
         rows = (
             index.postings.where(
                 F.col("field").isin(fields)
                 & F.col("term").isin(terms)
-                & (F.col("doc_id") == doc_id)
+                & F.col("doc_id").isin(doc_ids)
             )
         ).collect()
         for r in rows:
-            info[(r["field"], r["term"])] = {
+            infos[r["doc_id"]][(r["field"], r["term"])] = {
                 "tf": r["tf"],
                 "dl": r["doc_len"],
                 "positions": list(r["positions"]),
             }
-    return info
+    return infos
 
 
 def _explain_node(q, dfs, n, index, doc_info, doc_id) -> Explanation:

@@ -8,6 +8,7 @@ from ferret_spark.highlight import Explanation, highlight, match_positions
 from ferret_spark.analysis import get_analyzer
 from ferret_spark.query import (
     MUST,
+    SHOULD,
     BooleanQuery,
     PhraseQuery,
     PrefixQuery,
@@ -108,6 +109,24 @@ def test_explain_phrase(spark, seg):
     e = explain(seg, q, r["doc_id"])
     assert np.float32(e.value) == np.float32(r["score"])
     assert "phraseFreq" in e.description
+
+
+def test_explain_many_matches_per_doc_explain(spark, seg):
+    """explain_many (one postings fetch for a whole top-k page) must
+    return per-doc trees identical to one-at-a-time explain, including a
+    non-matching doc, across segment boundaries (seg_size=6)."""
+    from ferret_spark.highlight import explain, explain_many
+
+    q = BooleanQuery.of(
+        (TermQuery(field="content", term="word1"), MUST),
+        (TermQuery(field="content", term="word3"), SHOULD),
+    )
+    ids = [r["doc_id"] for r in seg.search(q, k=5).collect()] + [0]
+    many = explain_many(seg, q, ids)
+    assert set(many) == set(ids)
+    for d in ids:
+        one = explain(seg, q, d)
+        assert many[d].to_s() == one.to_s(), d
 
 
 def test_stemmed_analyzer_highlights():
