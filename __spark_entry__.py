@@ -1241,10 +1241,16 @@ def _get_seg_index(spark: SparkSession, sf_dir: str):
 def _rerank_rounded(top: DataFrame, k: int = K) -> DataFrame:
     """Over-fetched engine hits -> (rank, doc_id, score) by the 4dp-rounded
     score (both sides rank by the ROUNDED value, so the top-k cut matches
-    the SQL oracle at rounding-tie boundaries)."""
+    the SQL oracle at rounding-tie boundaries).  The engine's score column
+    is float32 — cast to double BEFORE rounding so the result is the exact
+    4dp double the SQL twin produces (rounding in float32 keeps the
+    nearest-float32 value, e.g. 0.46169999, which hash-mismatches)."""
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        top.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+        top.select(
+            "doc_id",
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+        )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .select(
@@ -1297,17 +1303,7 @@ def _q_seg_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over-fetch then re-rank by the 4dp-rounded score so the top-10 cut
     # matches the SQL oracle's ordering even at rounding-tie boundaries
     top = sidx.search(TermQuery(field="text", term="spark"), k=K + 40)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        top.select("doc_id", F.round(F.col("score"), 4).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(K)
-        .select(
-            F.row_number().over(w).cast("long").alias("rank"),
-            "doc_id",
-            "score",
-        )
-    )
+    return _rerank_rounded(top)
 
 
 def _q_fql(spark: SparkSession, sf_dir: str) -> DataFrame:
