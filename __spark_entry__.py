@@ -1306,6 +1306,55 @@ def _q_seg_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(top)
 
 
+def _q_seg_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A four-query log (term / AND / OR / NOT) through the COMPRESSED
+    segment engine in ONE Spark job (wand.segment_batch_search): one
+    segments scan with the union term predicate, one broadcast term_stats
+    join, one _SegEval per segment serving every query (each posting list
+    decodes once for the whole batch). Per-query float32 scores are
+    identical to segment_search, so the SQL twin is the four single-query
+    twins stacked. Over-fetch + re-rank by the 4dp-rounded double score,
+    same convention as ft_seg_term."""
+    from ferret_spark.query import MUST, MUST_NOT, SHOULD, BooleanQuery, TermQuery
+    from ferret_spark.wand import segment_batch_search
+
+    def tt(t):
+        return TermQuery(field="text", term=t)
+
+    qs = [
+        tt("spark"),
+        BooleanQuery.of((tt("scan"), MUST), (tt("join"), MUST)),
+        BooleanQuery.of((tt("spark"), SHOULD), (tt("stream"), SHOULD)),
+        BooleanQuery.of((tt("scan"), MUST), (tt("join"), MUST_NOT)),
+    ]
+    sidx = _get_seg_index(spark, sf_dir)
+    over = segment_batch_search(sidx, qs, k=K + 40)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        over.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _sql_seg_batch(k: int = K) -> str:
+    parts = [
+        (0, _sql_term("spark", k)),
+        (1, _sql_bool_and("scan", "join", k)),
+        (2, _sql_bool_or("spark", "stream", k)),
+        (3, _sql_bool_not("scan", "join", k)),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS query_id, sub.* FROM ({sql}) sub"
+        for i, sql in parts
+    )
+
+
 def _q_fql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FQL string end-to-end: parse -> plan -> rank."""
     from ferret_spark.parser import QueryParser
@@ -1877,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_near": _q_span_near,
         "ft_tfidf_term": _q_tfidf_term,
         "ft_seg_term": _q_seg_term,
+        "ft_seg_batch": _q_seg_batch,
         "ft_sorted_nchars": _q_sorted_nchars,
         "ft_sorted_multi": _q_sorted_multi,
         "ft_highlight": _q_highlight,
@@ -1938,6 +1988,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_near": _sql_span_near("table", "hash", slop=2),
         "ft_tfidf_term": _sql_tfidf_term("scan"),
         "ft_seg_term": _sql_term("spark"),
+        "ft_seg_batch": _sql_seg_batch(),
         "ft_sorted_nchars": _sql_sorted_nchars(),
         "ft_sorted_multi": _sql_sorted_multi(),
         "ft_highlight": _sql_highlight(),

@@ -453,6 +453,19 @@ class FerretIndex:
             deleted_cache_key=self._deleted_state_key(),
         )
 
+    def search_batch(self, queries: list, k: int = 10) -> DataFrame:
+        """Top-k for a whole query log in ONE Spark job — (query_id,
+        rank, doc_id, score), float32-identical per query to search().
+        Deletions apply exactly as in search(). Supported shapes: term /
+        multi-term (prefix, wildcard, fuzzy rewrites) / flat boolean —
+        see wand.segment_batch_search."""
+        from ferret_spark.wand import segment_batch_search
+
+        return segment_batch_search(
+            self.index, queries, k=k, deleted=self.deleted_df(),
+            deleted_cache_key=self._deleted_state_key(),
+        )
+
     def query(self, fql: str, k: int = 10, **kw) -> DataFrame:
         from ferret_spark.parser import QueryParser
 

@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ferret_spark.codec import decode_posting_list
@@ -1913,3 +1913,206 @@ def segment_search(
     if k is not None:
         ranked = ranked.limit(k)
     return ranked
+
+
+def _batchable_seg_query(rq) -> bool:
+    """Shapes segment_batch_search accepts: TermQuery, MultiTermQuery,
+    and flat BooleanQuery whose scoring clauses are TermQuery or
+    MatchAllQuery (MUST_NOT clauses TermQuery) — the same surface as
+    batch.batch_search, so prefix/wildcard/fuzzy arrive via their capped
+    rewrites and pure-NOT booleans via the injected MatchAll."""
+    if isinstance(rq, (TermQuery, MultiTermQuery)):
+        return True
+    if isinstance(rq, BooleanQuery):
+        for c in rq.clauses:
+            if c.occur == MUST_NOT:
+                if not isinstance(c.query, TermQuery):
+                    return False
+            elif not isinstance(c.query, (TermQuery, MatchAllQuery)):
+                return False
+        return True
+    return False
+
+
+def segment_batch_search(
+    index,
+    queries: list,
+    k: int = 10,
+    deleted=None,
+    deleted_cache_key=None,
+) -> DataFrame:
+    """Top-k for MANY queries over the segmented index in ONE Spark job
+    — (query_id, rank, doc_id, score), query_id = position in
+    ``queries``, scores float32-identical per query to segment_search.
+
+    The reference answers a query log one searcher call at a time
+    (frt_isea_search_w, c/src/search.c:1049-1127) because its per-call
+    fixed cost is microseconds; on Spark each call pays job submission +
+    a postings scan + a collect (~seconds at 2M docs), so a query log is
+    batched instead — the segment-store analog of batch.batch_search:
+
+    - ONE segments scan with the union (field, term) predicate pushed
+      (plus one stub row per segment when any query carries a MatchAll);
+    - global dfs fused in-task via one broadcast term_stats join;
+    - per segment group, ONE _SegEval serves every query: posting rows
+      parse once and each term DECODES ONCE into the evaluator's cache
+      no matter how many queries reference it — the per-query
+      incremental cost is just the numpy mask/score fold;
+    - per-(segment, query) top-k cut inside the group, then one global
+      per-query ranked window (float32 rank semantics, ties doc asc).
+
+    Shapes: see _batchable_seg_query; anything else raises ValueError —
+    route it through segment_search.  ``deleted`` is the packed-deletes
+    DataFrame path of segment_search (same per-state cache key).
+    """
+    rqs = []
+    for q in queries:
+        rq = wand_rewrite(index, q)
+        if not _batchable_seg_query(rq):
+            raise ValueError(
+                "segment_batch_search: unsupported query shape "
+                f"{type(rq).__name__} — use segment_search for this query"
+            )
+        rqs.append(rq)
+    pairs = sorted({p for rq in rqs for p in _collect_terms(rq)})
+    needs_all = any(_query_needs_all_docs(rq) for rq in rqs)
+    seg_schema = getattr(index, "_seg_schema_cache", None)
+    if seg_schema is None:
+        seg_schema = index.segments.schema
+        index._seg_schema_cache = seg_schema
+    bm_type = seg_schema["block_meta"].dataType
+    n_docs = index.n_docs
+    avgdl_map = dict(index.stats["avgdl"])
+    seg_size = index.seg_size
+    spark = index.spark
+    out_schema = "query_id int, rank long, doc_id long, score float"
+    if not pairs and not needs_all:
+        return spark.createDataFrame([], out_schema)
+
+    scan_cond = None
+    if pairs:
+        fields = sorted({f for f, _ in pairs})
+        terms = sorted({t for _, t in pairs})
+        scan_cond = F.col("field").isin(fields) & F.col("term").isin(terms)
+    if needs_all:
+        seg_rows = index.segments
+        if scan_cond is not None:
+            seg_rows = seg_rows.where(scan_cond)
+        n_segs = _n_segs_span(index, n_docs, seg_size)
+        stub = spark.range(n_segs).select(
+            F.col("id").cast("long").alias("seg_id"),
+            F.lit("__stub__").alias("field"),
+            F.lit("").alias("term"),
+            F.lit(0).cast("long").alias("df"),
+            F.lit(b"").alias("doc_bin"),
+            F.lit(b"").alias("tf_bin"),
+            F.lit(b"").alias("pos_bin"),
+            F.lit(b"").alias("dl_bin"),
+            F.lit(None).cast(bm_type).alias("block_meta"),
+        )
+        seg_rows = seg_rows.unionByName(stub)
+    elif scan_cond is not None:
+        seg_rows = index.segments.where(scan_cond)
+    else:
+        seg_rows = index.segments.where(F.lit(False))
+
+    has_gdf = bool(pairs)
+    if has_gdf:
+        ts_small = index.term_stats.where(
+            F.col("field").isin(fields) & F.col("term").isin(terms)
+        ).select("field", "term", F.col("df").alias("gdf"))
+        seg_rows = seg_rows.join(F.broadcast(ts_small), ["field", "term"], "left")
+
+    if deleted is not None and isinstance(deleted, DataFrame):
+        cached = getattr(index, "_packed_del_cache", None)
+        if (
+            deleted_cache_key is not None
+            and cached is not None
+            and cached[0] == deleted_cache_key
+        ):
+            del_rows = cached[1]
+        else:
+            del_rows = _pack_deleted(deleted, seg_size, seg_schema)
+            if deleted_cache_key is not None:
+                del_rows = del_rows.persist()
+                if cached is not None:
+                    cached[1].unpersist()
+                index._packed_del_cache = (deleted_cache_key, del_rows)
+        if has_gdf:
+            del_rows = del_rows.withColumn("gdf", F.lit(None).cast("long"))
+        seg_rows = seg_rows.unionByName(del_rows)
+
+    id_ranges = getattr(index, "id_ranges", None) or [[0, n_docs]]
+    local_k = k
+
+    def score_segment_batch(key, pdf):
+        seg_id = int(key[0])
+        base = seg_id * seg_size
+        del_local = None
+        rows_by_ft = {}
+        dfs_local = {}
+        for r in pdf.to_dict("records"):
+            fld = r["field"]
+            if fld == "__stub__":
+                continue
+            if fld == "__del__":
+                ids = np.frombuffer(bytes(r["doc_bin"]), dtype=np.int64)
+                dl2 = ids - base
+                del_local = (
+                    dl2 if del_local is None else np.union1d(del_local, dl2)
+                )
+                continue
+            if has_gdf and not pd.isna(r["gdf"]):
+                dfs_local[(fld, r["term"])] = int(r["gdf"])
+            rows_by_ft[(fld, r["term"])] = {
+                "doc_bin": bytes(r["doc_bin"]),
+                "tf_bin": bytes(r["tf_bin"]),
+                "pos_bin": bytes(r["pos_bin"]),
+                "dl_bin": bytes(r["dl_bin"]),
+                "block_meta": [
+                    bm if isinstance(bm, dict) else bm.asDict()
+                    for bm in r["block_meta"]
+                ],
+                "df": int(r["df"]),
+            }
+        ev = _SegEval(
+            rows_by_ft, dfs_local, n_docs, avgdl_map, base, seg_size, id_ranges
+        )
+        out_q, out_d, out_s = [], [], []
+        for qid, rq in enumerate(rqs):
+            mask, score = ev.eval(rq)
+            if del_local is not None and len(del_local):
+                mask[del_local] = False
+            locs = np.flatnonzero(mask)
+            if local_k is not None and len(locs) > local_k:
+                s32 = score[locs].astype(np.float32)
+                order = np.lexsort((locs, -s32))[:local_k]
+                locs = locs[order]
+            out_q.append(np.full(len(locs), qid, dtype=np.int32))
+            out_d.append((locs + base).astype(np.int64))
+            out_s.append(score[locs])
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q) if out_q else [],
+                "doc_id": np.concatenate(out_d) if out_d else [],
+                "score": np.concatenate(out_s) if out_s else [],
+            }
+        )
+
+    scored = seg_rows.groupBy("seg_id").applyInPandas(
+        score_segment_batch, "qid int, doc_id long, score double"
+    )
+    rank_score = F.col("score").cast("float")
+    w = Window.partitionBy("qid").orderBy(
+        rank_score.desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            "doc_id",
+            rank_score.alias("score"),
+        )
+    )
