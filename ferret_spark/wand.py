@@ -1934,12 +1934,24 @@ def _batchable_seg_query(rq) -> bool:
     return False
 
 
+# Union-term budget per segment_batch_search job: each applyInPandas
+# group materializes ONE Arrow batch holding every matched term's posting
+# binaries for that segment, so a batch of B hot-term queries puts
+# O(union_terms x seg_bytes) in the JVM's direct-memory Arrow pool per
+# concurrent task. Measured on this box: ~128 hot terms per job is
+# comfortable, ~512 OOMs the default pool at 2M docs x 32 tasks.
+# Batches whose term union exceeds the budget split into sub-jobs —
+# still ~B/budget jobs instead of B.
+SEG_BATCH_TERM_BUDGET = 192
+
+
 def segment_batch_search(
     index,
     queries: list,
     k: int = 10,
     deleted=None,
     deleted_cache_key=None,
+    term_budget: int | None = None,
 ) -> DataFrame:
     """Top-k for MANY queries over the segmented index in ONE Spark job
     — (query_id, rank, doc_id, score), query_id = position in
@@ -1974,7 +1986,35 @@ def segment_batch_search(
                 f"{type(rq).__name__} — use segment_search for this query"
             )
         rqs.append(rq)
-    pairs = sorted({p for rq in rqs for p in _collect_terms(rq)})
+
+    budget = SEG_BATCH_TERM_BUDGET if term_budget is None else term_budget
+    union_terms = {p for rq in rqs for p in _collect_terms(rq)}
+    if budget and len(union_terms) > budget and len(rqs) > 1:
+        # split into sub-jobs whose term unions fit the Arrow pool;
+        # query_id stays the caller's position via an offset re-map
+        out = None
+        chunk, seen = [], set()
+        start = 0
+        for i, rq in enumerate(rqs):
+            ts = set(_collect_terms(rq))
+            if chunk and len(seen | ts) > budget:
+                part = segment_batch_search(
+                    index, queries[start:i], k=k, deleted=deleted,
+                    deleted_cache_key=deleted_cache_key, term_budget=0,
+                ).withColumn(
+                    "query_id", F.col("query_id") + F.lit(start)
+                )
+                out = part if out is None else out.unionByName(part)
+                chunk, seen, start = [], set(), i
+            chunk.append(rq)
+            seen |= ts
+        part = segment_batch_search(
+            index, queries[start:], k=k, deleted=deleted,
+            deleted_cache_key=deleted_cache_key, term_budget=0,
+        ).withColumn("query_id", F.col("query_id") + F.lit(start))
+        return part if out is None else out.unionByName(part)
+
+    pairs = sorted(union_terms)
     needs_all = any(_query_needs_all_docs(rq) for rq in rqs)
     seg_schema = getattr(index, "_seg_schema_cache", None)
     if seg_schema is None:

@@ -103,14 +103,31 @@ def main():
     )
     t_build = 0.0
     if idx.size() != N_DOCS:
+        if idx.size():  # partial build from an interrupted run: start over
+            import shutil
+
+            shutil.rmtree(os.path.join(keep_dir, "idx"), ignore_errors=True)
+            idx = FerretIndex(
+                spark, os.path.join(keep_dir, "idx"), FIELD_CONFIG,
+                seg_size=4096, salt_buckets=16, merge_factor=4,
+            )
         batch_n = N_DOCS // N_BATCHES
         t0 = time.time()
         for b in range(N_BATCHES):
+            # materialize the synthetic slice to parquet first (as
+            # largefile_run does): add_documents traverses the corpus
+            # several times, and re-deriving the generator each pass is
+            # ~10x the add itself
             corpus = synth_corpus_df(
                 spark, batch_n, num_partitions=max(32, CPUS),
                 start=b * batch_n, with_id=True,
             ).withColumn("doc_id", F.col("doc_id") - F.lit(b * batch_n))
-            idx.add_documents(corpus, doc_id_col="doc_id")
+            cpath = os.path.join(keep_dir, f"batch_{b}")
+            corpus.write.mode("overwrite").parquet(cpath)
+            idx.add_documents(spark.read.parquet(cpath), doc_id_col="doc_id")
+            import shutil
+
+            shutil.rmtree(cpath, ignore_errors=True)
             print(json.dumps({"built_batch": b}), flush=True)
         t_build = time.time() - t0
     print(json.dumps({"docs": idx.size(), "build_s": round(t_build, 1)}),

@@ -123,6 +123,22 @@ def test_seg_batch_facade_with_deletes(spark, tmp_path):
             assert np.float32(h["score"]) == np.float32(w["score"]), qid
 
 
+def test_seg_batch_term_budget_split(seg):
+    """A term budget smaller than the batch's union forces sub-jobs; the
+    result (query_id mapping, docs, float32 scores) must be identical to
+    the unsplit run."""
+    whole = segment_batch_search(seg, BATCH, k=K, term_budget=0).collect()
+    split = segment_batch_search(seg, BATCH, k=K, term_budget=3).collect()
+
+    def keyed(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], np.float32(r["score"]))
+            for r in rows
+        )
+
+    assert keyed(split) == keyed(whole)
+
+
 def test_seg_batch_plan_shape(seg):
     """The whole batch (no MatchAll) must be ONE segments scan + ONE
     term_stats scan (the broadcast gdf join) and exactly one Python
