@@ -72,6 +72,17 @@ def _builder_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("FERRET_DRIVER_MEM", "8g"))
+        # Arrow batches live in the JVM's DIRECT pool (netty arenas),
+        # which defaults to the heap size; local[32] runs 32 concurrent
+        # Arrow-heavy tasks in ONE JVM, and long query-log runs fragment
+        # the arenas — 8g OOMed a 128-query segment_batch_search leg at
+        # 2M docs. On a real cluster each executor JVM brings its own
+        # pool, so this is purely a single-JVM local-mode ceiling.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:MaxDirectMemorySize="
+            + os.environ.get("FERRET_DIRECT_MEM", "24g"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
