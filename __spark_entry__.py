@@ -897,10 +897,18 @@ def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tagged string from token positions — the corpus is single-space
     lowercase, so token rejoin reproduces the original text exactly."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = r"split(text, ' ')"
-    has_phrase = F.expr(
-        f"exists(sequence(0, size({toks}) - 2),"
-        f" i -> {toks}[i] = 'table' AND {toks}[i + 1] = 'hash')"
+    # token-adjacency predicate as ONE codegen'd substring probe: with
+    # split(text, ' ') tokens are exactly the runs between single spaces,
+    # so toks[i]='table' AND toks[i+1]='hash' <=> ' table hash ' occurs in
+    # the space-padded text (double spaces produce an empty middle token
+    # on BOTH sides of the equivalence, so edge cases agree — property
+    # test in tests/test_entry_highlight_pred.py). The previous
+    # exists(sequence(...)) form re-evaluated split() per token index —
+    # O(len^2) per doc (guide §4.1: prefer built-ins; §1 measured this at
+    # ~18 s of the sf1.0 wall).
+    has_phrase = (
+        F.instr(F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " table hash ")
+        > 0
     )
 
     def _hl(texts):
