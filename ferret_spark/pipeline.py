@@ -267,20 +267,127 @@ def dedup_ngram_jaccard(
         ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids")),
         "dedup_ngram_jaccard", "ids", shingle_df_cap,
     ).where((F.size("ids") >= 2) & (F.size("ids") <= shingle_df_cap))
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(ids,"
-                    " x -> transform(ids, y -> struct(x AS doc_a, y AS doc_b)))),"
-                    " p -> p.doc_a < p.doc_b)"
+    # Pair counting entirely in numpy, Spark only moving opaque blobs
+    # (guide §4.2 + §8 "shuffle a lightweight proxy"): the co-occurrence
+    # structure here is inherently dense (sf1.0: 27.7k buckets of ~95 docs
+    # each -> 127M raw / 114M DISTINCT pairs), so a row-level
+    # groupBy(doc_a, doc_b) pays Arrow->JVM conversion + hash-agg +
+    # shuffle per pair (21.6s noop-isolated, and the downstream join ran
+    # over all 114M). Instead:
+    #   stage A (per bucket-partition): enumerate i<j pairs over SORTED
+    #     ids as packed int64 keys, np.unique-combine locally, then split
+    #     by shard = pk % NSHARDS and emit ONE binary blob row per shard
+    #     (the 114M keys cross the exchange as ~64x64 lz4'd byte cells,
+    #     never as rows);
+    #   stage B (per shard): exact global n_common = bincount over the
+    #     shard's concatenated partials, then a CONSERVATIVE threshold
+    #     pre-filter (J >= t - 1e-6, strictly looser than the engine's
+    #     round(J, 6) >= t) using a broadcast per-doc size array, so only
+    #     near-threshold survivors return to Spark as rows.
+    # The official jaccard arithmetic (round(c/(na+nb-c), 6) >= t) still
+    # runs in Spark on the survivors — bit-identical to before; the
+    # numpy pre-filter is sound (no false negatives), so the pair set is
+    # unchanged. Pair multiset is identical by construction (same bucket
+    # cap, same i<j enumeration).
+    _NSHARDS = 64
+    sz_rows = sizes.collect()  # one tiny job (doc_id, n_sh)
+    if len(sz_rows) <= 50_000_000:
+        _ids_arr = np.array([r["doc_id"] for r in sz_rows], dtype=np.int64)
+        _ord = np.argsort(_ids_arr, kind="stable")
+        _sz_ids = _ids_arr[_ord]
+        _sz_vals = np.array(
+            [r["n_sh"] for r in sz_rows], dtype=np.int64
+        )[_ord]
+        bc_sizes = spark.sparkContext.broadcast((_sz_ids, _sz_vals))
+    else:  # pragma: no cover — beyond-broadcast corpus: no pre-filter,
+        bc_sizes = None  # every exact pair returns to Spark (correct, slower)
+
+    def _pair_blobs(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            col = batch.column(0)
+            offs = col.offsets.to_numpy()
+            vals = col.values.to_numpy()
+            if len(vals) and int(vals.max()) >= (1 << 31):
+                raise ValueError(
+                    "dedup_ngram_jaccard: doc_id >= 2^31 overflows the "
+                    "packed pair key; widen the pair representation"
                 )
-            ).alias("p")
+            # vectorized per distinct bucket size: all buckets of size n
+            # are one (k, n) matrix -> one sort + one triu gather (the
+            # per-bucket Python loop re-built triu indices ~430x/task)
+            bsizes = np.diff(offs)
+            starts = offs[:-1]
+            parts = []
+            for n in np.unique(bsizes):
+                n = int(n)
+                if n < 2:
+                    continue
+                st = starts[bsizes == n]
+                m = np.sort(
+                    vals[st[:, None] + np.arange(n)[None, :]], axis=1
+                ).astype(np.int64)
+                i, j = np.triu_indices(n, k=1)
+                parts.append(
+                    ((m[:, i] << np.int64(32)) | m[:, j]).ravel()
+                )
+            if not parts:
+                continue
+            uk, cnt = np.unique(np.concatenate(parts), return_counts=True)
+            cnt = cnt.astype(np.int32)
+            shard = (uk % _NSHARDS).astype(np.int32)
+            o = np.argsort(shard, kind="stable")
+            uk, cnt, shard = uk[o], cnt[o], shard[o]
+            cuts = np.flatnonzero(np.diff(shard)) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(shard)]))
+            out_s, out_pk, out_c = [], [], []
+            for s0, e0 in zip(starts, ends):
+                out_s.append(int(shard[s0]))
+                out_pk.append(uk[s0:e0].tobytes())
+                out_c.append(cnt[s0:e0].tobytes())
+            yield pa.record_batch(
+                [
+                    pa.array(out_s, type=pa.int32()),
+                    pa.array(out_pk, type=pa.binary()),
+                    pa.array(out_c, type=pa.binary()),
+                ],
+                names=["shard", "pk", "c"],
+            )
+
+    thr = threshold
+
+    def _combine_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pks = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in pdf["pk"]]
         )
-        .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count("*").alias("n_common"))
-        .select(
-            F.col("doc_a"), F.col("doc_b"), F.col("n_common")
+        cs = np.concatenate(
+            [np.frombuffer(b, dtype=np.int32) for b in pdf["c"]]
+        )
+        uk, inv = np.unique(pks, return_inverse=True)
+        tot = np.bincount(inv, weights=cs).astype(np.int64)
+        a = (uk >> np.int64(32)).astype(np.int64)
+        b = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
+        if bc_sizes is not None:
+            sz_ids, sz_vals = bc_sizes.value
+            na = sz_vals[np.searchsorted(sz_ids, a)]
+            nb = sz_vals[np.searchsorted(sz_ids, b)]
+            keep = tot.astype(np.float64) / (
+                (na + nb - tot).astype(np.float64)
+            ) >= (thr - 1e-6)
+            a, b, tot = a[keep], b[keep], tot[keep]
+        return pd.DataFrame(
+            {"doc_a": a, "doc_b": b, "n_common": tot}
+        )
+
+    pairs = (
+        buckets.select("ids")
+        .mapInArrow(_pair_blobs, "shard int, pk binary, c binary")
+        .groupBy("shard")
+        .applyInPandas(
+            lambda pdf: _combine_shard(pdf),
+            "doc_a long, doc_b long, n_common long",
         )
     )
     out = (
