@@ -80,6 +80,44 @@ def doc_len_udf(analyzer_name: str):
     return _dl
 
 
+# Analyzers whose token stream is exactly expressible as whole-stage-
+# codegen JVM expressions (guide §4.1: built-ins over UDFs). Semantics
+# mirrored from analysis.tokens_pandas and property-tested against it
+# (tests/test_build_jvm_tokens.py):
+#   whitespace      findall(\S+) + lower  == filter(split, t<>'') + lower
+#   whitespace_raw  findall(\S+)
+#   letter          findall([A-Za-z]+) + lower
+# (split on \s+ yields only a leading empty segment — Java split drops
+# trailing empties — so the filtered array equals the findall list, and
+# the array index stays the token position.)
+_JVM_TOKEN_EXPRS = {
+    # coalesce to '' first: the pandas surface fillna("")s, and a NULL
+    # would otherwise propagate to a NULL token array
+    "whitespace": (
+        r"transform(filter(split(coalesce(cast({c} as string), ''),"
+        r" '\\s+'), t -> t != ''), t -> lower(t))"
+    ),
+    "whitespace_raw": (
+        r"filter(split(coalesce(cast({c} as string), ''), '\\s+'),"
+        r" t -> t != '')"
+    ),
+    "letter": (
+        r"transform(regexp_extract_all(coalesce(cast({c} as string), ''),"
+        r" '[A-Za-z]+', 0), t -> lower(t))"
+    ),
+}
+
+
+def jvm_tokens_expr(analyzer_name, col: str):
+    """JVM token-array expression for ``analyzer_name`` or None when the
+    pipeline needs the Python surface (standard rules, stop words, stems,
+    custom instances)."""
+    if not isinstance(analyzer_name, str):
+        return None
+    tpl = _JVM_TOKEN_EXPRS.get(analyzer_name)
+    return None if tpl is None else F.expr(tpl.format(c=col))
+
+
 def assign_doc_ids(
     df: DataFrame, order_cols: Sequence[str], buckets: int = DOC_ID_BUCKETS
 ) -> DataFrame:
@@ -142,19 +180,35 @@ def build_docs(
     for field, aname in field_config.items():
         if aname == "keyword":
             continue
+        jvm_toks = jvm_tokens_expr(aname, field)
         if keep_tokens:
-            tok = tokenize_udf(aname)
-            df = df.withColumn(
-                f"_toks_{field}", tok(F.col(field).cast("string"))
-            ).withColumn(
-                f"doc_len_{field}",
-                F.size(
-                    F.filter(F.col(f"_toks_{field}"), lambda t: t.isNotNull())
-                ),
-            )
+            if jvm_toks is not None:
+                # pure-JVM tokenize: no ArrowEvalPython in the build plan,
+                # no null slots (these pipelines drop nothing), so doc_len
+                # is just the array size
+                df = df.withColumn(f"_toks_{field}", jvm_toks).withColumn(
+                    f"doc_len_{field}", F.size(F.col(f"_toks_{field}"))
+                )
+            else:
+                tok = tokenize_udf(aname)
+                df = df.withColumn(
+                    f"_toks_{field}", tok(F.col(field).cast("string"))
+                ).withColumn(
+                    f"doc_len_{field}",
+                    F.size(
+                        F.filter(
+                            F.col(f"_toks_{field}"), lambda t: t.isNotNull()
+                        )
+                    ),
+                )
         elif doc_lens:
-            dl = doc_len_udf(aname)
-            df = df.withColumn(f"doc_len_{field}", dl(F.col(field).cast("string")))
+            if jvm_toks is not None:
+                df = df.withColumn(f"doc_len_{field}", F.size(jvm_toks))
+            else:
+                dl = doc_len_udf(aname)
+                df = df.withColumn(
+                    f"doc_len_{field}", dl(F.col(field).cast("string"))
+                )
         df = df.withColumn(
             f"sha256_{field}", F.sha2(F.col(field).cast("string"), 256)
         )

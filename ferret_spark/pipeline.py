@@ -919,13 +919,15 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw_lit = ", ".join(f"'{w}'" for w in sw)
     # t IN (...) compiles to an O(1) hash-set probe (Catalyst InSet) —
     # array_contains over a literal array would scan all stopwords per token
-    return d.select(
+    # tokenize ONCE into a projected column (CollapseProject keeps a
+    # non-cheap alias referenced twice in its own projection, so the
+    # split runs once per row instead of once per sub-expression)
+    toked = d.select("doc_id", _toks_col().alias("_t"))
+    return toked.select(
         "doc_id",
         F.expr(
-            f"round(size(filter(filter(split(lower(text), '\\\\s+'),"
-            f" t -> t <> ''), t -> t IN ({sw_lit})))"
-            f" / greatest(size(filter(split(lower(text), '\\\\s+'),"
-            f" t -> t <> '')), 1), 6)"
+            f"round(size(filter(_t, t -> t IN ({sw_lit})))"
+            f" / greatest(size(_t), 1), 6)"
         ).alias("stopword_ratio"),
     ).withColumn(
         "is_englishlike", (F.col("stopword_ratio") >= 0.1).cast("int")
@@ -936,21 +938,34 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality score: mix of mean token length, alpha-token fraction and
     length band — the classic cheap pretraining filters."""
     d = _docs(spark, sf_dir)
-    toks = r"filter(split(lower(text), '\\s+'), t -> t <> '')"
-    mean_len = f"aggregate({toks}, 0D, (s, t) -> s + length(t)) / greatest(size({toks}), 1)"
-    alpha_frac = (
-        f"size(filter({toks}, t -> t rlike '^[a-z]+$'))"
-        f" / greatest(size({toks}), 1)"
-    )
-    n_toks = f"size({toks})"
-    return d.select(
+    # tokenize ONCE into a projected column — the inline form re-split the
+    # text for every one of the ~8 sub-expressions below (guide §4.1);
+    # same values, one scan of the array per aggregate
+    toked = d.select("doc_id", _toks_col().alias("_t"))
+    # each metric is computed ONCE (unrounded) and quality_score reads the
+    # same columns — the inline form evaluated every aggregate (and the
+    # per-token rlike filter) twice, once for its output column and once
+    # inside the score. Arithmetic order is unchanged, so values match.
+    staged = toked.select(
         "doc_id",
-        F.expr(f"round({mean_len}, 6)").alias("mean_token_len"),
-        F.expr(f"round({alpha_frac}, 6)").alias("alpha_fraction"),
-        F.expr(n_toks).alias("n_tokens"),
         F.expr(
-            f"round(least({mean_len} / 10.0, 1.0) * 0.3 + ({alpha_frac}) * 0.4"
-            f" + least({n_toks} / 100.0, 1.0) * 0.3, 6)"
+            "aggregate(_t, 0D, (s, t) -> s + length(t))"
+            " / greatest(size(_t), 1)"
+        ).alias("_ml"),
+        F.expr(
+            "size(filter(_t, t -> t rlike '^[a-z]+$'))"
+            " / greatest(size(_t), 1)"
+        ).alias("_af"),
+        F.expr("size(_t)").alias("n_tokens"),
+    )
+    return staged.select(
+        "doc_id",
+        F.expr("round(_ml, 6)").alias("mean_token_len"),
+        F.expr("round(_af, 6)").alias("alpha_fraction"),
+        "n_tokens",
+        F.expr(
+            "round(least(_ml / 10.0, 1.0) * 0.3 + _af * 0.4"
+            " + least(n_tokens / 100.0, 1.0) * 0.3, 6)"
         ).alias("quality_score"),
     ).orderBy("doc_id")
 
