@@ -1018,6 +1018,8 @@ def dedup_clusters(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     changed = 1
     prev_persisted = None
     for it in range(max_iters):
@@ -1029,16 +1031,28 @@ def dedup_clusters(
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")
         )
-        # keep nbr_min alongside the old label: the convergence probe is a
-        # filter on THIS frame (nbr_min < label), not a second join of new
-        # vs old labels — and a converged round skips the pointer-doubling
-        # self-join entirely. Sound because the graph is symmetric: if no
-        # vertex sees a smaller neighbor label, labels are constant per
-        # component (= the component min), so the doubling hop is a no-op.
-        stepped = labels.join(nbr, "doc_id", "left").persist()
-        changed = (
-            stepped.where(F.col("nbr_min") < F.col("label")).limit(1).count()
+        # convergence probe FUSED into the round's own materializing
+        # action via an Observation (CollectMetrics rides the count job —
+        # one job per round instead of probe + update). Sound because the
+        # graph is symmetric: when no vertex sees a smaller neighbor
+        # label (changed == 0), step1 == labels and the doubling hop is a
+        # no-op, so the already-computed new_labels IS the fixed point.
+        obs = Observation()
+        stepped = (
+            labels.join(nbr, "doc_id", "left")
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        (F.col("nbr_min") < F.col("label")).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("changed"),
+            )
+            .persist()
         )
+        stepped.count()  # materialize; the observation rides this job
+        changed = int(dict(obs.get)["changed"])
         if changed == 0:
             stepped.unpersist()
             break
