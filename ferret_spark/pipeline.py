@@ -580,6 +580,66 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+# -- bit-identical numpy kernels (round-7, guide §4.2) ----------------------
+# The JVM expressions fold dots LEFT TO RIGHT:
+#   aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, x) -> s + x)
+# A numpy loop over the DIMENSION axis performs the same float64 adds in
+# the same order, vectorized across rows — so buckets / assignments /
+# cosines computed here are bit-identical to the interpreted-HOF plans
+# they replace (tests/test_ann_numpy_parity.py pins this per element).
+# Rounding (F.round half-up) stays in Spark; these return raw doubles.
+
+
+def _foldl_dots(E: "np.ndarray", v: "np.ndarray") -> "np.ndarray":
+    s = np.zeros(len(E), dtype=np.float64)
+    for j in range(E.shape[1]):
+        s += E[:, j] * v[j]
+    return s
+
+
+def _foldl_sqnorm(E: "np.ndarray") -> "np.ndarray":
+    s = np.zeros(len(E), dtype=np.float64)
+    for j in range(E.shape[1]):
+        s += E[:, j] * E[:, j]
+    return s
+
+
+def _np_bucket(E: "np.ndarray", planes: "np.ndarray") -> "np.ndarray":
+    b = np.zeros(len(E), dtype=np.int64)
+    for p in range(len(planes)):
+        b |= (_foldl_dots(E, planes[p]) > 0).astype(np.int64) << np.int64(p)
+    return b
+
+
+def _np_cos_vs_query(E: "np.ndarray", qv: "np.ndarray") -> "np.ndarray":
+    qn = 0.0
+    for x in qv:
+        qn += x * x
+    return _foldl_dots(E, qv) / (np.sqrt(_foldl_sqnorm(E)) * np.sqrt(qn))
+
+
+def _np_pair_cos(E: "np.ndarray") -> "np.ndarray":
+    """All-pairs cosine matrix with the left-fold add order: S[a, b]
+    accumulates E[a, j] * E[b, j] in ascending j — the same sequence the
+    per-pair JVM fold performs."""
+    n = len(E)
+    S = np.zeros((n, n), dtype=np.float64)
+    for j in range(E.shape[1]):
+        c = E[:, j]
+        S += c[:, None] * c[None, :]
+    na = np.sqrt(_foldl_sqnorm(E))
+    return S / (na[:, None] * na[None, :])
+
+
+def _emb_batches_np(batch):
+    """(vec_ids, E float64) from an Arrow batch of (vec_id, embedding)."""
+    vid = batch.column(0).to_numpy()
+    col = batch.column(1)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    E = flat.astype(np.float64).reshape(len(vid), -1)
+    return vid, E
+
+
 def ann_lsh_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -595,32 +655,130 @@ def ann_lsh_topk(
     identically into the DuckDB twin), so bucketing is bit-identical across
     engines; the probe set is a bit_count(bucket XOR qbucket) predicate —
     never a driver-enumerated bucket list."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
-    )
     qe = _query_vec(spark, sf_dir, query_vec_id)  # one cached driver fetch
     planes = _plane_literals(len(qe), n_planes)
-    bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_sql("e", planes)))
     # query bucket via the same left-fold float64 dot as the engine
     # expression — bit-identical, no extra driver action
     qbucket = sum(
         (1 << p) for p, plane in enumerate(planes) if _dot(qe, plane) > 0
     )
-    cand = bucketed.where(
+    # bucket + cosine in one Arrow pass (numpy left-fold kernels — the
+    # interpreted-HOF plane/cosine folds cost ~5s at sf1.0 for 20k x 12
+    # planes); probe filter, rounding and top-k ordering stay in Spark
+    P_arr = np.asarray(planes, dtype=np.float64)
+    q_arr = np.asarray(qe, dtype=np.float64)
+
+    def _score(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            vid, E = _emb_batches_np(batch)
+            yield pa.record_batch(
+                [
+                    pa.array(vid),
+                    pa.array(_np_bucket(E, P_arr)),
+                    pa.array(_np_cos_vs_query(E, q_arr)),
+                ],
+                names=["vec_id", "bucket", "cos"],
+            )
+
+    scored = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .mapInArrow(_score, "vec_id long, bucket long, cos double")
+    )
+    cand = scored.where(
         (F.expr(f"bit_count(bucket ^ {qbucket})") <= probe_hamming)
         & (F.col("vec_id") != query_vec_id)
-    )
-    qv = spark.createDataFrame([(qe,)], "qv array<double>")
-    scored = cand.crossJoin(F.broadcast(qv)).select(
-        "vec_id", F.round(_cosine_expr("e", "qv"), 6).alias("cosine")
-    )
-    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    ).select("vec_id", F.round(F.col("cos"), 6).alias("cosine"))
+    return cand.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
 ANN_BATCH_PLANES = 6  # 64 LSH buckets
 ANN_BATCH_CAP = 200  # max vectors per bucket entering pair enumeration
 ANN_BATCH_K = 5
+
+
+def _lsh_bucket_groups(
+    spark: SparkSession, sf_dir: str, n_planes: int, bucket_cap: int, op: str
+):
+    """Shared candidate-bucket frame for the batch ANN / embedding-dedup
+    ops: numpy hyperplane bucketing in one Arrow pass (raw float32
+    vectors ride through untouched), then the usual capped + observed
+    collect per bucket. Bucket ids are bit-identical to the former JVM
+    fold expression (same left-fold order — tests/test_ann_numpy_parity)."""
+    planes = np.asarray(
+        _plane_literals(_emb_dim(spark, sf_dir), n_planes), dtype=np.float64
+    )
+
+    def _bucket(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            vid, E = _emb_batches_np(batch)
+            yield pa.record_batch(
+                [
+                    pa.array(vid),
+                    pa.array(_np_bucket(E, planes)),
+                    batch.column(1),
+                ],
+                names=["vec_id", "bucket", "embedding"],
+            )
+
+    bucketed = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .mapInArrow(
+            _bucket, "vec_id long, bucket long, embedding array<float>"
+        )
+    )
+    return _observe_cap(
+        bucketed.groupBy("bucket").agg(
+            F.collect_list(F.struct("vec_id", "embedding")).alias("vs")
+        ),
+        op, "vs", bucket_cap,
+    ).where((F.size("vs") >= 2) & (F.size("vs") <= bucket_cap))
+
+
+def _pair_cos_fn(symmetric: bool):
+    """mapInPandas body: per bucket row, all-pairs cosine via the
+    left-fold numpy kernel; emits ordered off-diagonal pairs
+    (``symmetric=True``, batch-kNN shape) or i<j canonical pairs by
+    vec_id sort (``symmetric=False``, dedup shape) — the same pair sets
+    the nested-transform JVM form produced."""
+
+    cols = ("vec_id", "nbr", "cos") if symmetric else ("vec_a", "vec_b", "cos")
+
+    def fn(pdfs):
+        for pdf in pdfs:
+            out_a, out_b, out_c = [], [], []
+            for vs in pdf["vs"]:
+                ids = np.array([v["vec_id"] for v in vs], dtype=np.int64)
+                E = np.stack(
+                    [np.asarray(v["embedding"], dtype=np.float64) for v in vs]
+                )
+                C = _np_pair_cos(E)
+                n = len(ids)
+                if symmetric:
+                    i, j = np.nonzero(~np.eye(n, dtype=bool))
+                else:
+                    o = np.argsort(ids, kind="stable")
+                    ids, C = ids[o], C[np.ix_(o, o)]
+                    i, j = np.triu_indices(n, k=1)
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+                out_c.append(C[i, j])
+            if not out_a:
+                continue
+            yield pd.DataFrame(
+                {
+                    cols[0]: np.concatenate(out_a),
+                    cols[1]: np.concatenate(out_b),
+                    cols[2]: np.concatenate(out_c),
+                }
+            )
+
+    return fn
 
 # IVF coarse quantizer: TRAINED deterministic spherical k-means codebook
 # (seeded init, fixed Lloyd iterations, bounded deterministic sample) —
@@ -765,25 +923,48 @@ def ann_ivf_topk(
     touches 1/{IVF_CENTROIDS} of the data per list instead of all
     vectors. Recall@10 vs the brute-force baseline is recorded by
     scripts/ann_recall.py (BENCH/ANN_RECALL.md)."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
-    )
     qe = _query_vec(spark, sf_dir, query_vec_id)
     if cents is None:
         cents = ivf_trained_centroids(sf_dir)
-    assigned = ivf_assign(emb, spark, cents)
     # probe ids computed with the same left-fold float64 order as the
     # engines -> identical assignment arithmetic
     dots = [(_dot(qe, c), i) for i, c in enumerate(cents)]
     probe = [i for _, i in sorted(dots, reverse=True)[:nprobe]]
-    cand = assigned.where(
+    # assignment + cosine in one Arrow pass: per-centroid left-fold dots,
+    # argmax with ties to the LARGER centroid id (the array_max-over-
+    # struct(d, i) rule ivf_assign's JVM fold implements)
+    C_arr = np.asarray(cents, dtype=np.float64)
+    q_arr = np.asarray(qe, dtype=np.float64)
+    n_cent = len(cents)
+
+    def _assign_score(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            vid, E = _emb_batches_np(batch)
+            D = np.empty((len(E), n_cent), dtype=np.float64)
+            for i in range(n_cent):
+                D[:, i] = _foldl_dots(E, C_arr[i])
+            # np.argmax takes the FIRST max; reverse the axis so ties
+            # resolve to the larger centroid id
+            cid = (n_cent - 1) - np.argmax(D[:, ::-1], axis=1)
+            yield pa.record_batch(
+                [
+                    pa.array(vid),
+                    pa.array(cid.astype(np.int32)),
+                    pa.array(_np_cos_vs_query(E, q_arr)),
+                ],
+                names=["vec_id", "cid", "cos"],
+            )
+
+    assigned = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .mapInArrow(_assign_score, "vec_id long, cid int, cos double")
+    )
+    scored = assigned.where(
         F.col("cid").isin(probe) & (F.col("vec_id") != query_vec_id)
-    )
-    qv = spark.createDataFrame([(qe,)], "qv array<double>")
-    scored = cand.crossJoin(F.broadcast(qv)).select(
-        "vec_id", F.round(_cosine_expr("e", "qv"), 6).alias("cosine")
-    )
+    ).select("vec_id", F.round(F.col("cos"), 6).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
@@ -821,30 +1002,20 @@ def ann_batch_topk(
     M cap), then exact cosine re-ranks and a per-vector window keeps the
     top k. Recall is single-probe LSH (the scale trade the brief asks
     for); the brute-force exactness baseline is ann_cosine_topk."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    groups = _lsh_bucket_groups(
+        spark, sf_dir, n_planes, bucket_cap, "ann_batch_topk"
     )
-    planes = _plane_literals(_emb_dim(spark, sf_dir), n_planes)
-    bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_sql("e", planes)))
-    groups = _observe_cap(
-        bucketed.groupBy("bucket").agg(
-            F.collect_list(F.struct("vec_id", "e")).alias("vs")
-        ),
-        "ann_batch_topk", "vs", bucket_cap,
-    ).where((F.size("vs") >= 2) & (F.size("vs") <= bucket_cap))
-    pairs = groups.select(
-        F.explode(
-            F.expr(
-                "filter(flatten(transform(vs, x -> transform(vs,"
-                " y -> struct(x.vec_id AS vec_id, x.e AS ev,"
-                " y.vec_id AS nbr, y.e AS en)))), p -> p.vec_id != p.nbr)"
-            )
-        ).alias("p")
-    ).select(
-        "p.vec_id",
-        "p.nbr",
-        F.round(_cosine_expr("p.ev", "p.en"), 6).alias("cosine"),
+    # all ordered off-diagonal pairs per bucket, cosine via the numpy
+    # left-fold pair kernel (the nested-transform JVM enumeration +
+    # per-pair interpreted cosine folds were the op's dominant cost)
+    pairs = (
+        groups.select("vs")
+        .mapInPandas(
+            _pair_cos_fn(symmetric=True), "vec_id long, nbr long, cos double"
+        )
+        .select(
+            "vec_id", "nbr", F.round(F.col("cos"), 6).alias("cosine")
+        )
     )
     from pyspark.sql import Window
 
@@ -876,30 +1047,17 @@ def dedup_embedding(
     all-pairs join), then the exact cosine filter. The semantic-dedup
     step of a training-data pipeline, next to the lexical dedups
     (exact/minhash/simhash/jaccard)."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    groups = _lsh_bucket_groups(
+        spark, sf_dir, n_planes, bucket_cap, "dedup_embedding"
     )
-    planes = _plane_literals(_emb_dim(spark, sf_dir), n_planes)
-    bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_sql("e", planes)))
-    groups = _observe_cap(
-        bucketed.groupBy("bucket").agg(
-            F.collect_list(F.struct("vec_id", "e")).alias("vs")
-        ),
-        "dedup_embedding", "vs", bucket_cap,
-    ).where((F.size("vs") >= 2) & (F.size("vs") <= bucket_cap))
-    pairs = groups.select(
-        F.explode(
-            F.expr(
-                "filter(flatten(transform(vs, x -> transform(vs,"
-                " y -> struct(x.vec_id AS vec_a, x.e AS ev,"
-                " y.vec_id AS vec_b, y.e AS en)))), p -> p.vec_a < p.vec_b)"
-            )
-        ).alias("p")
-    ).select(
-        "p.vec_a",
-        "p.vec_b",
-        F.round(_cosine_expr("p.ev", "p.en"), 6).alias("cosine"),
+    pairs = (
+        groups.select("vs")
+        .mapInPandas(
+            _pair_cos_fn(symmetric=False), "vec_a long, vec_b long, cos double"
+        )
+        .select(
+            "vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cosine")
+        )
     )
     return (
         pairs.where(F.col("cosine") >= F.lit(threshold))
