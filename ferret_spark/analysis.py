@@ -254,6 +254,7 @@ class Analyzer:
         if self.hyphens:
             raise ValueError("hyphen pipeline requires pairs_pandas")
         s = s.fillna("")
+        std_rx = None
         if self.tokenizer == "whitespace":
             toks = s.str.findall(_WS_RE)
         elif self.tokenizer == "letter":
@@ -261,11 +262,43 @@ class Analyzer:
         elif self.tokenizer == "letter_unicode":
             toks = s.str.findall(_LETTER_U_RE)
         elif self.tokenizer == "standard":
-            toks = s.map(lambda t: _std_findall(t, _STANDARD_RE))
+            std_rx = _STANDARD_RE
         elif self.tokenizer == "standard_mb":
-            toks = s.map(lambda t: _std_findall(t, _STANDARD_MB_RE))
+            std_rx = _STANDARD_MB_RE
         else:
             raise ValueError(self.tokenizer)
+        if std_rx is not None and (
+            self.lowercase
+            and self.stop_words is None
+            and self._map_re is None
+            and not self.stem
+        ):
+            # hot path (StandardAnalyzer pipelines with no stop/map/stem —
+            # the index-build inverter): ONE fused pass instead of the
+            # findall -> _std_findall loop -> fix loop chain. _std_fix is
+            # inlined for the overwhelmingly common plain-word case (no
+            # './'’@ in the token) — same transforms, same order.
+            findall = std_rx.findall
+            fix = _std_fix
+
+            def one(t):
+                out = []
+                for tok in findall(t):
+                    if (
+                        tok[-1] in "/'’"
+                        or "." in tok
+                        or "://" in tok
+                        or (tok[-1] in "sS" and tok[-2:-1] in ("'", "’"))
+                    ):
+                        tok = fix(tok)
+                        if not tok:
+                            continue
+                    out.append(tok.lower())
+                return out
+
+            return s.map(one)
+        if std_rx is not None:
+            toks = s.map(lambda t: _std_findall(t, std_rx))
         # one fused pass: map + lowercase + stop + stem (standard-rule
         # transforms already applied inside _std_findall)
         lower = self.lowercase

@@ -52,11 +52,15 @@ def vbyte_encode(vals: np.ndarray) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint8)
     nbytes = vbyte_lengths(vals)
+    max_b = int(nbytes.max())
+    if max_b == 1:
+        # all values < 128 (the common case for doc/pos deltas and tfs):
+        # the stream IS the byte cast — skip the offset machinery
+        return vals.astype(np.uint8)
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     starts = ends - nbytes
     out = np.zeros(total, dtype=np.uint8)
-    max_b = int(nbytes.max())
     for j in range(max_b):
         mask = nbytes > j
         idx = starts[mask] + j

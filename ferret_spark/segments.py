@@ -164,14 +164,14 @@ def invert_partition(
             )
             row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
             docs_flat = doc_ids[row_idx].astype(np.int64)
-            terms_flat = pd.Series(
-                np.concatenate(
-                    [np.asarray(t, dtype=object) for t in tok_lists if len(t)]
-                )
-                if total
-                else [],
-                dtype=object,
-            )
+            # one C-level chain instead of a per-doc object-array
+            # concatenate (the per-doc np.asarray calls dominated the
+            # flatten cost in profile)
+            from itertools import chain
+
+            flat = np.empty(total, dtype=object)
+            flat[:] = list(chain.from_iterable(tok_lists))
+            terms_flat = pd.Series(flat, dtype=object)
             valid = terms_flat.notna().to_numpy() & (terms_flat != "").to_numpy()
             # per-doc token count after stop-removal = BM25 doc_len
             dls_per_doc = np.bincount(
