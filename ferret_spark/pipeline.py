@@ -500,23 +500,50 @@ def dedup_simhash(
     path). 60 bits = one 15-hex-char parse, same expression on the DuckDB
     twin side."""
     d = _docs_wide(spark, sf_dir).select("doc_id", _toks_col().alias("toks"))
-    # explode to (doc_id, token-hash) rows: the per-bit tallies become
-    # codegen'd conditional SUM aggregates with map-side combine (the
-    # nested array-lambda form pays interpreted-HOF overhead per token*bit)
+    # explode to (doc_id, token-hash) rows: md5 + hex parse stay codegen'd
+    # JVM scalars; the per-bit +-1 tallies then fold in numpy per Arrow
+    # batch (np.add.reduceat over doc runs — r7: the 60 conditional SUM
+    # aggregates over ~10M token rows were the op's dominant cost), so
+    # the JVM aggregation below only sums ~one partial row per doc per
+    # batch. Partial tallies are additive (sum of 2*cnt_i - n_i ==
+    # 2*cnt - n), and the fold is exact integer math — bit-identical
+    # fingerprints (parity test vs the aggregate form).
     ex = d.select("doc_id", F.explode("toks").alias("t")).select(
         "doc_id",
         F.expr(
             "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
         ).alias("h"),
     )
-    aggs = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"_b{b}")
-        for b in range(bits)
-    ]
-    per_doc = ex.groupBy("doc_id").agg(*aggs)
+    nbits = bits
+
+    def _tally(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            did = batch.column(0).to_numpy()
+            if len(did) == 0:
+                continue
+            h = batch.column(1).to_numpy()
+            cuts = np.flatnonzero(np.diff(did)) + 1
+            starts = np.concatenate(([0], cuts))
+            uids = did[starts]
+            n_per = np.diff(np.concatenate((starts, [len(did)])))
+            cols = [pa.array(uids)]
+            for b in range(nbits):
+                bit = (h >> np.int64(b)) & np.int64(1)
+                cnt = np.add.reduceat(bit, starts)
+                cols.append(pa.array(2 * cnt - n_per))
+            yield pa.record_batch(
+                cols, names=["doc_id"] + [f"_b{b}" for b in range(nbits)]
+            )
+
+    schema = ", ".join(
+        ["doc_id long"] + [f"_b{b} long" for b in range(nbits)]
+    )
+    partials = ex.mapInArrow(_tally, schema)
+    per_doc = partials.groupBy("doc_id").agg(
+        *[F.sum(f"_b{b}").alias(f"_b{b}") for b in range(bits)]
+    )
     # bit b of the fingerprint set iff its tally > 0
     fp = None
     for b in range(bits):

@@ -95,3 +95,43 @@ def test_ivf_assignment_matches_jvm(spark):  # noqa: F811
         D[:, i] = P._foldl_dots(E, C_arr[i])
     cid = (len(cents) - 1) - np.argmax(D[:, ::-1], axis=1)
     assert {int(v): int(c) for v, c in zip(ids, cid)} == jvm
+
+
+def test_simhash_matches_aggregate_form(spark):  # noqa: F811
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in P.dedup_simhash(spark, sf).collect()
+    }
+    # pre-r7 shape: 60 conditional SUM aggregates over exploded tokens
+    d = P._docs_wide(spark, sf).select(
+        "doc_id", P._toks_col().alias("toks")
+    )
+    ex = d.select("doc_id", F.explode("toks").alias("t")).select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)").alias(
+            "h"
+        ),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(60)
+    ]
+    per_doc = ex.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(60):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    want = {
+        r["doc_id"]: r["s"]
+        for r in per_doc.select(
+            "doc_id", fp.cast("long").alias("s")
+        ).collect()
+    }
+    for k, v in want.items():
+        assert got[k] == v
