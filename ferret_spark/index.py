@@ -50,7 +50,17 @@ class SparkIndex:
             docs = docs.persist()
         postings = B.build_postings(docs, field_config)
         if cache:
-            postings = postings.persist()
+            # cluster the cached postings by (field, term): the in-memory
+            # cache keeps per-batch min/max stats, and with terms
+            # clustered a term-filter scan prunes to a handful of cached
+            # batches instead of evaluating the predicate over every
+            # posting row (r7: ~0.36s per term scan at sf1.0 -> ~10ms;
+            # every declarative query scans postings once per term). One
+            # extra range exchange at build time; row order is internal —
+            # results are unaffected.
+            postings = postings.repartitionByRange(
+                "field", "term"
+            ).sortWithinPartitions("field", "term").persist()
         term_stats = B.build_term_stats(postings)
         if cache:
             term_stats = term_stats.persist()

@@ -539,17 +539,52 @@ class _Planner:
                 sp = sp.withColumnRenamed("score", cname)
                 score_cols.append(cname)
                 base = base.join(sp, "doc_id", "left")
+        elif len(should_plans) == 1:
+            base = should_plans[0]
+            cname = f"_s{self.uid()}"
+            base = base.withColumnRenamed("score", cname)
+            score_cols.append(cname)
         else:
             if not should_plans:
                 return self._empty()
-            renamed = []
-            for sp in should_plans:
-                cname = f"_s{self.uid()}"
-                renamed.append((cname, sp.withColumnRenamed("score", cname)))
-                score_cols.append(cname)
-            base = renamed[0][1]
-            for cname, sp in renamed[1:]:
-                base = base.join(sp, "doc_id", "full")
+            # pure-SHOULD disjunction: UNION + one grouped fold instead of
+            # chained FULL OUTER joins (full outer cannot broadcast, so
+            # each join was a sort-merge over tiny shuffles — ~2.6s of
+            # partition overhead per query at sf1.0; guide §2.4). The fold
+            # sums present clause scores in CLAUSE-ORDINAL order from a
+            # 0.0 seed — bit-equal to the old coalesce(s1,0)+coalesce(s2,0)
+            # chain for every present/absent subset (x+0.0 == x and
+            # 0.0+x == x for the finite scores BM25 produces), pinned by
+            # tests/test_bool_or_union.py.
+            parts = [
+                sp.select(
+                    "doc_id",
+                    F.lit(i).alias("_ord"),
+                    F.col("score").alias("_s"),
+                )
+                for i, sp in enumerate(should_plans)
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            agg = u.groupBy("doc_id").agg(
+                F.collect_list(F.struct("_ord", "_s")).alias("arr")
+            )
+            ssum = F.aggregate(
+                F.array_sort(F.col("arr")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_s"],
+            )
+            out = agg.select(
+                "doc_id", (F.lit(q.boost) * ssum).alias("score")
+            )
+            if nots:
+                excl = None
+                for np_ in nots:
+                    d = self.plan(np_).select("doc_id")
+                    excl = d if excl is None else excl.unionByName(d)
+                out = out.join(excl.distinct(), "doc_id", "left_anti")
+            return out
 
         expr = None
         for c in score_cols:
