@@ -1239,8 +1239,19 @@ def _get_seg_index(spark: SparkSession, sf_dir: str):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     path = tempfile.mkdtemp(prefix="ferret_entry_seg_")
+    # seg_size scales with the corpus (parquet-footer row count, no job):
+    # a fixed 256 meant ~200 segments at sf1.0 — per-segment fixed costs
+    # (flush rows, merge groups, per-group eval) dominated the build.
+    # Results are segmentation-invariant (global dfs, per-doc scores), so
+    # this is layout only; the 256 floor keeps small SFs multi-segment.
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetDataset(
+        f"{sf_dir}/documents.parquet"
+    ).read(columns=[]).num_rows
+    seg_size = max(256, n_docs // 32)
     sidx = SegmentIndexBuilder(
-        spark, path, {"text": "whitespace"}, seg_size=256
+        spark, path, {"text": "whitespace"}, seg_size=seg_size
     ).build(docs, doc_id_col="doc_id")
     _SEG_CACHE[key] = sidx
     return sidx
