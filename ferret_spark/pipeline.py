@@ -474,13 +474,42 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     a, b = minhash_coeffs()
-    aggs = [
-        F.min(
-            (F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(MINHASH_P)
-        ).alias(f"_m{i}")
-        for i in range(MINHASH_PERMS)
-    ]
-    return ex.groupBy("doc_id").agg(*aggs).select(
+    # r7: per-doc permutation minima fold in numpy per Arrow batch
+    # (np.minimum.reduceat over doc runs) instead of 32 min-aggregate
+    # buffers updating per shingle row; the JVM aggregation then takes
+    # mins of ~one partial row per doc per batch. Exact int64 arithmetic
+    # (a_i < 2^22, h < 2^40 -> products < 2^62); min of partial mins is
+    # the min — signatures bit-identical (parity test).
+    a_arr = np.array(a, dtype=np.int64)
+    b_arr = np.array(b, dtype=np.int64)
+    n_perm = MINHASH_PERMS
+    p_mod = MINHASH_P
+
+    def _mins(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            did = batch.column(0).to_numpy()
+            if len(did) == 0:
+                continue
+            h = batch.column(1).to_numpy()
+            cuts = np.flatnonzero(np.diff(did)) + 1
+            starts = np.concatenate(([0], cuts))
+            cols = [pa.array(did[starts])]
+            for i in range(n_perm):
+                hp = (a_arr[i] * h + b_arr[i]) % p_mod
+                cols.append(pa.array(np.minimum.reduceat(hp, starts)))
+            yield pa.record_batch(
+                cols, names=["doc_id"] + [f"_m{i}" for i in range(n_perm)]
+            )
+
+    schema = ", ".join(
+        ["doc_id long"] + [f"_m{i} long" for i in range(n_perm)]
+    )
+    partials = ex.mapInArrow(_mins, schema)
+    return partials.groupBy("doc_id").agg(
+        *[F.min(f"_m{i}").alias(f"_m{i}") for i in range(n_perm)]
+    ).select(
         "doc_id",
         F.array(*[F.col(f"_m{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
     )
@@ -1242,8 +1271,20 @@ def dedup_clusters(
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # shuffle width for the iterative frames derived from the EDGE count
+    # (guide §2.2 — candidate-pair graphs are orders of magnitude smaller
+    # than the corpus, and each round otherwise paid full
+    # spark.sql.shuffle.partitions of per-task overhead; ~250k edges per
+    # partition keeps tasks meaningful at any scale)
+    n_edges = edges.count()
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover
+        par = 32
+    n_part = max(4, min(4 * par, n_edges // 250_000 + 4))
     labels = (
         edges.select(F.col("src").alias("doc_id"))
+        .repartition(n_part, "doc_id")
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
@@ -1257,6 +1298,7 @@ def dedup_clusters(
             edges.join(
                 labels.withColumnRenamed("doc_id", "dst"), "dst"
             )
+            .repartition(n_part, "src")
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")

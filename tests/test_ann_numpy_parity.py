@@ -135,3 +135,31 @@ def test_simhash_matches_aggregate_form(spark):  # noqa: F811
     }
     for k, v in want.items():
         assert got[k] == v
+
+
+def test_minhash_signatures_match_aggregate_form(spark):  # noqa: F811
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in P.minhash_signatures(spark, sf).collect()
+    }
+    ex = P._shingle_rows(spark, sf).select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(s), 1, 10), 16, 10) as bigint)").alias(
+            "h"
+        ),
+    )
+    a, b = P.minhash_coeffs()
+    aggs = [
+        F.min(
+            (F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(P.MINHASH_P)
+        ).alias(f"_m{i}")
+        for i in range(P.MINHASH_PERMS)
+    ]
+    want = {
+        r["doc_id"]: [r[f"_m{i}"] for i in range(P.MINHASH_PERMS)]
+        for r in ex.groupBy("doc_id").agg(*aggs).collect()
+    }
+    assert got == want
