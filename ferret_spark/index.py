@@ -58,6 +58,10 @@ class SparkIndex:
             # every declarative query scans postings once per term). One
             # extra range exchange at build time; row order is internal —
             # results are unaffected.
+            # (a partition-local sort without the range exchange was
+            # measured and rejected: hash partitions span the whole
+            # vocabulary, so cached batches stay term-wide and term scans
+            # regressed to ~2.4s)
             postings = postings.repartitionByRange(
                 "field", "term"
             ).sortWithinPartitions("field", "term").persist()

@@ -381,6 +381,7 @@ def merge_segments(
     salt_buckets: int = 8,
     seg_per_bucket: int | None = None,
     n_segments: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Hierarchical salted merge -> global (field, term) rows.
 
@@ -412,8 +413,13 @@ def merge_segments(
         # 4x cores: the Zipf head makes (field, term) buckets skewed, and
         # at 1 task/core the stage wall is the slowest straggler — smaller
         # quanta smooth it (measured at 8 cores: 6.65s @1x -> 4.56s @4x;
-        # 8x reverses the gain via per-file commit overhead)
+        # 8x reverses the gain via per-file commit overhead). When the
+        # caller knows the input row count (manifest), cap the fan-out so
+        # tiny merges (small corpora / few segments) don't pay 4x-cores
+        # tasks for a few thousand rows — ~2k rows per task floor.
         n_part = max(4, 4 * spark.sparkContext.defaultParallelism)
+        if n_rows is not None and n_rows > 0:
+            n_part = max(4, min(n_part, n_rows // 2000 + 1))
         src = segments.repartition(n_part, "field", "term")
         return _concat_stage(src, ["field", "term"]).select(
             "field", "term", "df",
@@ -762,8 +768,10 @@ class SegmentIndexBuilder:
                 if n_docs_known and n_docs_known > 0
                 else None
             )
+            seg_rows_known = done_m.get("segments", {}).get("rows", None)
             merged = merge_segments(
-                segs, self.salt_buckets, n_segments=n_segments
+                segs, self.salt_buckets, n_segments=n_segments,
+                n_rows=int(seg_rows_known) if seg_rows_known else None,
             )
             # merged rows are already partitioned by (field, term) — merge
             # input was range-partitioned — so only a partition-local sort
