@@ -227,12 +227,16 @@ def _shingles_from_text(n: int = SHINGLE_N):
 _SHINGLE_CACHE: dict = {}
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exploded (doc_id, n_sh, shingle) rows, computed once per (session,
+def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOC (doc_id, n_sh, shs array) rows, computed once per (session,
     sf_dir) and persisted — Jaccard and MinHash+LSH dedup share one shingle
-    scan (the dominant common cost). At the 100 TB tier the persist is a
-    working-set trade: MEMORY_AND_DISK spills cleanly, and a single
-    materialization replaces two full text scans + shingle builds."""
+    scan (the dominant common cost). r7: the cache keeps one row per DOC
+    instead of one per shingle — per-doc consumers (sizes, minhash
+    signatures) read it without any aggregation, and the exploded view for
+    the bucket groupBy is one cheap codegen Generate over cached arrays.
+    At the 100 TB tier the persist is a working-set trade: MEMORY_AND_DISK
+    spills cleanly, and a single materialization replaces two full text
+    scans + shingle builds."""
     from pyspark import StorageLevel
 
     key = (id(spark), sf_dir)
@@ -241,23 +245,70 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = (
             _docs_wide(spark, sf_dir)
             .select("doc_id", "text")
-            .mapInArrow(_shingle_rows_arrow, "doc_id long, n_sh int, s string")
+            .mapInArrow(
+                _shingle_docs_arrow,
+                "doc_id long, n_sh int, shs array<string>",
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _SHINGLE_CACHE[key] = c
     return c
 
 
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, n_sh, shingle) view over the per-doc cache —
+    same rows as the pre-r7 exploded cache (pinned by
+    tests/test_shingle_arrow.py)."""
+    return _shingle_docs(spark, sf_dir).select(
+        "doc_id", "n_sh", F.explode("shs").alias("s")
+    )
+
+
+def _doc_shingles(t: str | None, n_gram: int, ws) -> list[str]:
+    """Distinct n-gram shingles of one doc: normalize whitespace + lower,
+    dict-dedup windows; docs shorter than n_gram yield their single
+    whole-doc shingle (including the empty shingle for empty docs).
+    Whitespace class mirrors Java \\s ([ \\t\\n\\x0B\\f\\r]); parity vs
+    _shingles_from_text pinned by tests/test_shingle_arrow.py."""
+    norm = ws.sub(" ", (t or "").lower()).strip()
+    toks = norm.split(" ")
+    if len(toks) < n_gram:
+        return [norm]
+    return list(
+        dict.fromkeys(
+            " ".join(toks[j : j + n_gram])
+            for j in range(len(toks) - n_gram + 1)
+        )
+    )
+
+
+def _shingle_docs_arrow(batches):
+    """Arrow kernel for _shingle_docs: text -> one (doc_id, n_sh, shs)
+    row per doc. The Python str.split + dict-dedup window walk runs 4-7x
+    faster than the Java lookahead-regex extraction it replaced (measured
+    at sf1.0: 4.0s -> 0.6s warm)."""
+    import pyarrow as pa
+    import re as _re
+
+    ws = _re.compile("[ \t\n\x0b\f\r]+")
+    n_gram = SHINGLE_N
+    for batch in batches:
+        texts = batch.column(1).to_pylist()
+        shs_out = [_doc_shingles(t, n_gram, ws) for t in texts]
+        yield pa.record_batch(
+            [
+                batch.column(0).cast(pa.int64()),
+                pa.array([len(s) for s in shs_out], type=pa.int32()),
+                pa.array(shs_out, type=pa.list_(pa.string())),
+            ],
+            names=["doc_id", "n_sh", "shs"],
+        )
+
+
 def _shingle_rows_arrow(batches):
-    """Arrow kernel for _shingle_rows: normalized text -> exploded
-    (doc_id, n_sh, shingle) rows. Python str.split + a dict-dedup window
-    walk runs 4-7x faster than the Java lookahead-regex extraction it
-    replaces (measured at sf1.0: 4.0s -> 0.6s warm), and emits the exact
-    same rows: whitespace class mirrors Java \\s ([ \\t\\n\\x0B\\f\\r]),
-    docs shorter than SHINGLE_N yield their single whole-doc shingle
-    (including the empty shingle for empty docs, which the old
-    size(sh) > 0 filter also kept), and n_sh counts DISTINCT shingles.
-    Parity vs _shingles_from_text pinned by tests/test_shingle_arrow.py."""
+    """Exploded (doc_id, n_sh, shingle) form of _shingle_docs_arrow —
+    kept as the row-parity surface (tests/test_shingle_arrow.py pins it
+    golden-equal to the JVM _shingles_from_text extraction)."""
     import pyarrow as pa
     import re as _re
 
@@ -270,17 +321,7 @@ def _shingle_rows_arrow(batches):
         n_out: list = []
         s_out: list = []
         for i, t in enumerate(texts):
-            norm = ws.sub(" ", (t or "").lower()).strip()
-            toks = norm.split(" ")
-            if len(toks) < n_gram:
-                shs = [norm]
-            else:
-                shs = list(
-                    dict.fromkeys(
-                        " ".join(toks[j : j + n_gram])
-                        for j in range(len(toks) - n_gram + 1)
-                    )
-                )
+            shs = _doc_shingles(t, n_gram, ws)
             n = len(shs)
             ids_out.extend([did[i]] * n)
             n_out.extend([n] * n)
@@ -307,7 +348,10 @@ def dedup_ngram_jaccard(
     then count common shingles per pair. One shuffle on the shingle key
     with map-side partial aggregation, never a self-join."""
     ex = _shingle_rows(spark, sf_dir)
-    sizes = ex.groupBy("doc_id").agg(F.first("n_sh").alias("n_sh"))
+    # per-doc sizes straight off the per-doc cache — no aggregation over
+    # the exploded rows (r7: the groupBy(first) form re-aggregated 2.6M
+    # rows once for the broadcast and once per join side)
+    sizes = _shingle_docs(spark, sf_dir).select("doc_id", "n_sh")
     buckets = _observe_cap(
         ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids")),
         "dedup_ngram_jaccard", "ids", shingle_df_cap,
@@ -347,8 +391,32 @@ def dedup_ngram_jaccard(
     else:  # pragma: no cover — beyond-broadcast corpus: no pre-filter,
         bc_sizes = None  # every exact pair returns to Spark (correct, slower)
 
+    thr_lo = threshold - 1e-6
+
     def _pair_blobs(batches):
         import pyarrow as pa
+
+        # map-side size-ratio bound (r7): J(a,b) <= min(na,nb)/max(na,nb)
+        # regardless of the global common count, so a pair whose size
+        # ratio is already below thr - 1e-6 can never survive the
+        # combine-side pre-filter (which keeps J >= thr - 1e-6) — drop it
+        # in EVERY task before packing. Purely (na, nb)-dependent, so the
+        # pair is dropped consistently everywhere and surviving pairs
+        # keep their full global counts: output identical, exchange and
+        # combine proportionally smaller (measured 129M -> ~70M partials
+        # at sf1.0).
+        if bc_sizes is not None and thr_lo > 0:
+            _ids, _vals_sz = bc_sizes.value
+            if len(_ids) and int(_ids[-1]) < 4 * len(_ids) + (1 << 16):
+                lut = np.zeros(int(_ids[-1]) + 1, dtype=np.int64)
+                lut[_ids] = _vals_sz
+                _sz_of = lambda d: lut[d]  # noqa: E731 — dense ids: O(1) gather
+            else:
+                _sz_of = lambda d: _vals_sz[  # noqa: E731
+                    np.searchsorted(_ids, d)
+                ]
+        else:
+            _sz_of = None
 
         for batch in batches:
             col = batch.column(0)
@@ -374,9 +442,17 @@ def dedup_ngram_jaccard(
                     vals[st[:, None] + np.arange(n)[None, :]], axis=1
                 ).astype(np.int64)
                 i, j = np.triu_indices(n, k=1)
-                parts.append(
-                    ((m[:, i] << np.int64(32)) | m[:, j]).ravel()
-                )
+                a = m[:, i].ravel()
+                b = m[:, j].ravel()
+                pk = (a << np.int64(32)) | b
+                if _sz_of is not None:
+                    na = _sz_of(a)
+                    nb = _sz_of(b)
+                    pk = pk[
+                        np.minimum(na, nb)
+                        >= thr_lo * np.maximum(na, nb)
+                    ]
+                parts.append(pk)
             if not parts:
                 continue
             uk, cnt = np.unique(np.concatenate(parts), return_counts=True)
@@ -467,51 +543,62 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min aggregates are SCALAR expressions inside whole-stage codegen with
     # map-side partial aggregation — the array-lambda form evaluates ~10x
     # slower through Catalyst's interpreted higher-order functions
-    ex = _shingle_rows(spark, sf_dir).select(
-        "doc_id",
-        F.expr(
-            "cast(conv(substr(md5(s), 1, 10), 16, 10) as bigint)"
-        ).alias("h"),
-    )
+    # r7: the whole signature folds IN-ROW over the per-doc shingle cache —
+    # each doc's 32 permutation minima are complete within its own row, so
+    # there is no exploded md5 pass, no 33-column partial exchange and no
+    # groupBy at all. The base hash int(md5(s).hexdigest()[:10], 16) is
+    # computed once per DISTINCT shingle per batch (pandas factorize) and
+    # equals the JVM cast(conv(substr(md5(s),1,10),16,10) as bigint)
+    # byte-for-byte (lowercase hex, 40-bit value). Exact int64 arithmetic
+    # (a_i < 2^22, h < 2^40 -> products < 2^62); np.minimum.reduceat over
+    # per-doc runs — signatures bit-identical (parity test
+    # tests/test_ann_numpy_parity.py::test_minhash_signatures_match_aggregate_form).
     a, b = minhash_coeffs()
-    # r7: per-doc permutation minima fold in numpy per Arrow batch
-    # (np.minimum.reduceat over doc runs) instead of 32 min-aggregate
-    # buffers updating per shingle row; the JVM aggregation then takes
-    # mins of ~one partial row per doc per batch. Exact int64 arithmetic
-    # (a_i < 2^22, h < 2^40 -> products < 2^62); min of partial mins is
-    # the min — signatures bit-identical (parity test).
     a_arr = np.array(a, dtype=np.int64)
     b_arr = np.array(b, dtype=np.int64)
     n_perm = MINHASH_PERMS
     p_mod = MINHASH_P
 
-    def _mins(batches):
+    def _sigs(batches):
+        import hashlib
+
         import pyarrow as pa
 
         for batch in batches:
-            did = batch.column(0).to_numpy()
+            did = batch.column(0)
             if len(did) == 0:
                 continue
-            h = batch.column(1).to_numpy()
-            cuts = np.flatnonzero(np.diff(did)) + 1
-            starts = np.concatenate(([0], cuts))
-            cols = [pa.array(did[starts])]
+            shs = batch.column(1)
+            lens = pa.compute.list_value_length(shs).to_numpy()
+            starts = np.concatenate(
+                ([0], np.cumsum(lens[:-1]))
+            ).astype(np.int64)
+            flat = shs.flatten().to_pandas()
+            codes, uniq = pd.factorize(flat, sort=False)
+            hu = np.fromiter(
+                (
+                    int(hashlib.md5(u.encode("utf-8")).hexdigest()[:10], 16)
+                    for u in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            h = hu[codes]
+            mins = np.empty((len(lens), n_perm), dtype=np.int64)
             for i in range(n_perm):
                 hp = (a_arr[i] * h + b_arr[i]) % p_mod
-                cols.append(pa.array(np.minimum.reduceat(hp, starts)))
-            yield pa.record_batch(
-                cols, names=["doc_id"] + [f"_m{i}" for i in range(n_perm)]
+                mins[:, i] = np.minimum.reduceat(hp, starts)
+            sig = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (len(lens) + 1) * n_perm, n_perm),
+                    type=pa.int32(),
+                ),
+                pa.array(mins.ravel(), type=pa.int64()),
             )
+            yield pa.record_batch([did, sig], names=["doc_id", "sig"])
 
-    schema = ", ".join(
-        ["doc_id long"] + [f"_m{i} long" for i in range(n_perm)]
-    )
-    partials = ex.mapInArrow(_mins, schema)
-    return partials.groupBy("doc_id").agg(
-        *[F.min(f"_m{i}").alias(f"_m{i}") for i in range(n_perm)]
-    ).select(
-        "doc_id",
-        F.array(*[F.col(f"_m{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
+    return _shingle_docs(spark, sf_dir).select("doc_id", "shs").mapInArrow(
+        _sigs, "doc_id long, sig array<bigint>"
     )
 
 

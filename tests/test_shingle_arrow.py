@@ -44,3 +44,23 @@ def test_shingle_kernel_matches_jvm_edge_cases(spark):  # noqa: F811
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     assert _arrow_rows(spark, d) == _jvm_rows(spark, d)
+
+
+def test_shingle_docs_kernel_matches_exploded_rows(spark):  # noqa: F811
+    """r7 per-doc cache shape: exploding _shingle_docs_arrow's (doc_id,
+    n_sh, shs) rows must reproduce _shingle_rows_arrow's exploded rows
+    exactly (same doc_ids, same n_sh, same distinct shingles in order)."""
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = d.select("doc_id", "text").mapInArrow(
+        P._shingle_docs_arrow, "doc_id long, n_sh int, shs array<string>"
+    )
+    ex = docs.select(
+        "doc_id", "n_sh", F.explode("shs").alias("s")
+    )
+    got = sorted(tuple(r) for r in ex.collect())
+    assert got == _arrow_rows(spark, d)
+    # n_sh always equals the array size and is >= 1 (whole-doc shingle)
+    bad = docs.where(
+        (F.size("shs") != F.col("n_sh")) | (F.col("n_sh") < 1)
+    ).count()
+    assert bad == 0
