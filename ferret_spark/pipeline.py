@@ -660,63 +660,79 @@ def dedup_simhash(
     shift/mask arithmetic inside whole-stage codegen (no Python in the hot
     path). 60 bits = one 15-hex-char parse, same expression on the DuckDB
     twin side."""
-    d = _docs_wide(spark, sf_dir).select("doc_id", _toks_col().alias("toks"))
-    # explode to (doc_id, token-hash) rows: md5 + hex parse stay codegen'd
-    # JVM scalars; the per-bit +-1 tallies then fold in numpy per Arrow
-    # batch (np.add.reduceat over doc runs — r7: the 60 conditional SUM
-    # aggregates over ~10M token rows were the op's dominant cost), so
-    # the JVM aggregation below only sums ~one partial row per doc per
-    # batch. Partial tallies are additive (sum of 2*cnt_i - n_i ==
-    # 2*cnt - n), and the fold is exact integer math — bit-identical
-    # fingerprints (parity test vs the aggregate form).
-    ex = d.select("doc_id", F.explode("toks").alias("t")).select(
-        "doc_id",
-        F.expr(
-            "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
-        ).alias("h"),
-    )
+    # r7: the whole fingerprint folds IN-ROW — a doc's token stream lives
+    # in its own row, so the per-bit +-1 tallies and the sign step are
+    # complete without any explode, exchange, aggregation or restore-join
+    # (the pre-r7 path exploded ~10M (doc_id, hash) rows through Arrow and
+    # summed 60 partial columns per doc). Tokenization mirrors
+    # filter(split(lower(text),'\s+'), t<>'') with Java \s semantics
+    # ([ \t\n\x0B\f\r]) — the same normalize-split used (and pinned) by
+    # the shingle kernel; the token hash int(md5(t).hexdigest()[:15], 16)
+    # equals the JVM cast(conv(substr(md5(t),1,15),16,10) as bigint), and
+    # md5 runs once per DISTINCT token per batch (factorize). Zero-token
+    # docs have all tallies 0 -> simhash 0, matching the old restore-join.
+    # Exact integer math throughout — fingerprints bit-identical (parity
+    # test vs the aggregate form, tests/test_ann_numpy_parity.py).
     nbits = bits
 
-    def _tally(batches):
+    def _fps(batches):
+        import hashlib
+        import re as _re
+
         import pyarrow as pa
 
+        ws = _re.compile("[ \t\n\x0b\f\r]+")
+        one = np.int64(1)
+        weights = one << np.arange(nbits, dtype=np.int64)
         for batch in batches:
-            did = batch.column(0).to_numpy()
+            did = batch.column(0)
             if len(did) == 0:
                 continue
-            h = batch.column(1).to_numpy()
-            cuts = np.flatnonzero(np.diff(did)) + 1
-            starts = np.concatenate(([0], cuts))
-            uids = did[starts]
-            n_per = np.diff(np.concatenate((starts, [len(did)])))
-            cols = [pa.array(uids)]
-            for b in range(nbits):
-                bit = (h >> np.int64(b)) & np.int64(1)
-                cnt = np.add.reduceat(bit, starts)
-                cols.append(pa.array(2 * cnt - n_per))
+            texts = batch.column(1).to_pylist()
+            toks_flat: list[str] = []
+            lens = np.empty(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                norm = ws.sub(" ", (t or "").lower()).strip()
+                tl = norm.split(" ") if norm else []
+                lens[i] = len(tl)
+                toks_flat.extend(tl)
+            fp = np.zeros(len(texts), dtype=np.int64)
+            nz = np.flatnonzero(lens)
+            if len(nz):
+                codes, uniq = pd.factorize(
+                    pd.Series(toks_flat), sort=False
+                )
+                hu = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(u.encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                        for u in uniq
+                    ),
+                    dtype=np.int64,
+                    count=len(uniq),
+                )
+                h = hu[codes]
+                starts = np.concatenate(
+                    ([0], np.cumsum(lens[nz])[:-1])
+                ).astype(np.int64)
+                n_per = lens[nz]
+                acc = np.zeros(len(nz), dtype=np.int64)
+                for b in range(nbits):
+                    bit = (h >> np.int64(b)) & one
+                    cnt = np.add.reduceat(bit, starts)
+                    acc += (2 * cnt - n_per > 0) * weights[b]
+                fp[nz] = acc
             yield pa.record_batch(
-                cols, names=["doc_id"] + [f"_b{b}" for b in range(nbits)]
+                [did, pa.array(fp, type=pa.int64())],
+                names=["doc_id", "simhash"],
             )
 
-    schema = ", ".join(
-        ["doc_id long"] + [f"_b{b} long" for b in range(nbits)]
-    )
-    partials = ex.mapInArrow(_tally, schema)
-    per_doc = partials.groupBy("doc_id").agg(
-        *[F.sum(f"_b{b}").alias(f"_b{b}") for b in range(bits)]
-    )
-    # bit b of the fingerprint set iff its tally > 0
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    sim = per_doc.select("doc_id", fp.cast("long").alias("simhash"))
-    # docs with zero tokens vanish in the explode — restore them with
-    # simhash 0 (matches the empty-aggregate semantics of the twin)
-    all_ids = _docs(spark, sf_dir).select("doc_id")
     return (
-        all_ids.join(sim, "doc_id", "left")
-        .select("doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash"))
+        _docs_wide(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInArrow(_fps, "doc_id long, simhash long")
         .orderBy("doc_id")
     )
 
