@@ -172,6 +172,24 @@ def _toks_col():
     return F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")
 
 
+def _java_ws_split(texts, lower: bool):
+    """Python mirror of filter(split(text, '\\s+'), t <> '') with Java \\s
+    semantics ([ \\t\\n\\x0B\\f\\r] — narrower than Python's str.split
+    whitespace), optionally lowered first like _toks_col(). Shared by the
+    r7 in-row text-op kernels; parity pinned per op."""
+    import re as _re
+
+    ws = _re.compile("[ \t\n\x0b\f\r]+")
+    out = []
+    for t in texts:
+        s = t or ""
+        if lower:
+            s = s.lower()
+        s = ws.sub(" ", s).strip()
+        out.append(s.split(" ") if s else [])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # dedup
 
@@ -1276,21 +1294,42 @@ def dedup_embedding(
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio English-ness heuristic (n-gram language id stand-in
     for the synthetic corpus)."""
-    d = _docs(spark, sf_dir)
-    sw = sorted(ENGLISH_STOP_WORDS)
-    sw_lit = ", ".join(f"'{w}'" for w in sw)
-    # t IN (...) compiles to an O(1) hash-set probe (Catalyst InSet) —
-    # array_contains over a literal array would scan all stopwords per token
-    # tokenize ONCE into a projected column (CollapseProject keeps a
-    # non-cheap alias referenced twice in its own projection, so the
-    # split runs once per row instead of once per sub-expression)
-    toked = d.select("doc_id", _toks_col().alias("_t"))
-    return toked.select(
-        "doc_id",
-        F.expr(
-            f"round(size(filter(_t, t -> t IN ({sw_lit})))"
-            f" / greatest(size(_t), 1), 6)"
-        ).alias("stopword_ratio"),
+    # r7: ratio computed IN-ROW by one Arrow kernel (the size(filter(t IN
+    # set)) form evaluated an interpreted HOF lambda per token); membership
+    # is a Python set probe on distinct tokens per batch. The single
+    # division happens in the kernel (same one float64 divide the JVM
+    # expression performed); rounding and the threshold stay in Spark.
+    sw = frozenset(ENGLISH_STOP_WORDS)
+
+    def _ratio(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            did = batch.column(0)
+            if len(did) == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            toks = _java_ws_split(texts, lower=True)
+            # NULL text -> NULL ratio (size(NULL)/greatest(NULL,1) is NULL
+            # in the JVM form)
+            r = [
+                None
+                if t is None
+                else sum(1 for w in tl if w in sw) / max(len(tl), 1)
+                for t, tl in zip(texts, toks)
+            ]
+            yield pa.record_batch(
+                [did, pa.array(r, type=pa.float64())],
+                names=["doc_id", "_r"],
+            )
+
+    staged = (
+        _docs_wide(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInArrow(_ratio, "doc_id long, _r double")
+    )
+    return staged.select(
+        "doc_id", F.round(F.col("_r"), 6).alias("stopword_ratio")
     ).withColumn(
         "is_englishlike", (F.col("stopword_ratio") >= 0.1).cast("int")
     ).orderBy("doc_id")
@@ -1299,26 +1338,56 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality score: mix of mean token length, alpha-token fraction and
     length band — the classic cheap pretraining filters."""
-    d = _docs(spark, sf_dir)
-    # tokenize ONCE into a projected column — the inline form re-split the
-    # text for every one of the ~8 sub-expressions below (guide §4.1);
-    # same values, one scan of the array per aggregate
-    toked = d.select("doc_id", _toks_col().alias("_t"))
-    # each metric is computed ONCE (unrounded) and quality_score reads the
-    # same columns — the inline form evaluated every aggregate (and the
-    # per-token rlike filter) twice, once for its output column and once
-    # inside the score. Arithmetic order is unchanged, so values match.
-    staged = toked.select(
-        "doc_id",
-        F.expr(
-            "aggregate(_t, 0D, (s, t) -> s + length(t))"
-            " / greatest(size(_t), 1)"
-        ).alias("_ml"),
-        F.expr(
-            "size(filter(_t, t -> t rlike '^[a-z]+$'))"
-            " / greatest(size(_t), 1)"
-        ).alias("_af"),
-        F.expr("size(_t)").alias("n_tokens"),
+    # r7: all three metrics fold IN-ROW in one Arrow kernel pass — the
+    # aggregate()/filter(rlike) forms ran as interpreted HOF lambdas per
+    # token, and the single-file parquet scan bounded them to one task.
+    # Parity: token lengths are exact small ints (float64 accumulation
+    # order can't matter), the alpha check mirrors rlike '^[a-z]+$' as a
+    # fullmatch, and each ratio is the same single float64 divide the JVM
+    # expression performed. Rounding and the score composition stay in
+    # Spark, unchanged.
+    def _metrics(batches):
+        import re as _re
+
+        import pyarrow as pa
+
+        alpha = _re.compile("[a-z]+")
+        for batch in batches:
+            did = batch.column(0)
+            if len(did) == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            toks = _java_ws_split(texts, lower=True)
+            n = len(toks)
+            # NULL text -> NULL metrics (the JVM aggregates over a NULL
+            # token array are NULL)
+            ml: list = [None] * n
+            af: list = [None] * n
+            nt: list = [None] * n
+            for i, tl in enumerate(toks):
+                if texts[i] is None:
+                    continue
+                k = len(tl)
+                nt[i] = k
+                g = max(k, 1)
+                ml[i] = sum(map(len, tl)) / g
+                af[i] = (
+                    sum(1 for t in tl if alpha.fullmatch(t) is not None) / g
+                )
+            yield pa.record_batch(
+                [
+                    did,
+                    pa.array(ml, type=pa.float64()),
+                    pa.array(af, type=pa.float64()),
+                    pa.array(nt, type=pa.int32()),
+                ],
+                names=["doc_id", "_ml", "_af", "n_tokens"],
+            )
+
+    staged = (
+        _docs_wide(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInArrow(_metrics, "doc_id long, _ml double, _af double, n_tokens int")
     )
     return staged.select(
         "doc_id",
@@ -1335,17 +1404,55 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + BPE-ish subword count (letter runs, digit
     runs, punct singletons)."""
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.expr(
-            r"size(filter(split(text, '\\s+'), t -> t <> ''))"
-        ).alias("ws_tokens"),
-        F.expr(
-            r"size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0))"
-        ).alias("subword_tokens"),
-        F.length("text").alias("n_chars_actual"),
-    ).orderBy("doc_id")
+    # r7: both counts + the length fold IN-ROW in one Arrow kernel pass
+    # (the JVM form ran split + regexp_extract_all inside the single-task
+    # parquet scan). The subword pattern is the same alternation with
+    # Java's \s written out explicitly ([ \t\n\x0B\f\r] — Python's \s is
+    # wider); ws_tokens counts RAW (unlowered) whitespace tokens exactly
+    # like filter(split(text,'\s+'), t<>''). len() == JVM length() (both
+    # count code points).
+    def _counts(batches):
+        import re as _re
+
+        import pyarrow as pa
+
+        sub = _re.compile("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0b\f\r]")
+        for batch in batches:
+            did = batch.column(0)
+            if len(did) == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            toks = _java_ws_split(texts, lower=False)
+            # NULL text propagates to NULL counts, exactly like
+            # size(split(NULL)) / length(NULL) in the JVM form
+            ws_n = [
+                None if t is None else len(tl)
+                for t, tl in zip(texts, toks)
+            ]
+            sub_n = [
+                None if t is None else len(sub.findall(t)) for t in texts
+            ]
+            ln = [None if t is None else len(t) for t in texts]
+            yield pa.record_batch(
+                [
+                    did,
+                    pa.array(ws_n, type=pa.int32()),
+                    pa.array(sub_n, type=pa.int32()),
+                    pa.array(ln, type=pa.int32()),
+                ],
+                names=["doc_id", "ws_tokens", "subword_tokens", "n_chars_actual"],
+            )
+
+    return (
+        _docs_wide(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInArrow(
+            _counts,
+            "doc_id long, ws_tokens int, subword_tokens int,"
+            " n_chars_actual int",
+        )
+        .orderBy("doc_id")
+    )
 
 
 def dedup_clusters(
@@ -1640,14 +1747,42 @@ def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (word-shuffle-invariant near-dup key)."""
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.expr(
-            r"md5(array_join(array_sort(array_distinct("
-            r"filter(split(lower(text), '\\s+'), t -> t <> ''))), ' '))"
-        ).alias("fingerprint"),
-    ).orderBy("doc_id")
+    # r7: the sort-distinct-join-md5 chain folds IN-ROW in one Arrow
+    # kernel (the JVM form ran array_sort/array_distinct as interpreted
+    # array ops inside the single-task parquet scan). Parity: Python
+    # sorted() orders code points and JVM array_sort orders UTF8 bytes —
+    # identical orderings (UTF-8 is order-preserving); md5 hex lowercase
+    # both sides; NULL text -> NULL fingerprint.
+    def _fp(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        for batch in batches:
+            did = batch.column(0)
+            if len(did) == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            toks = _java_ws_split(texts, lower=True)
+            fps = [
+                None
+                if t is None
+                else hashlib.md5(
+                    " ".join(sorted(set(tl))).encode("utf-8")
+                ).hexdigest()
+                for t, tl in zip(texts, toks)
+            ]
+            yield pa.record_batch(
+                [did, pa.array(fps, type=pa.string())],
+                names=["doc_id", "fingerprint"],
+            )
+
+    return (
+        _docs_wide(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInArrow(_fp, "doc_id long, fingerprint string")
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
