@@ -1479,6 +1479,12 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Edge-count bound for the driver-side CC fast path: 2M symmetric edges
+# collect to ~32 MB — comfortably inside any driver. Past it, the
+# distributed label-propagation loop runs unchanged.
+CC_DRIVER_EDGE_BOUND = 2_000_000
+
+
 def dedup_clusters(
     spark: SparkSession, sf_dir: str, max_iters: int = 20
 ) -> DataFrame:
@@ -1511,6 +1517,57 @@ def dedup_clusters(
     # spark.sql.shuffle.partitions of per-task overhead; ~250k edges per
     # partition keeps tasks meaningful at any scale)
     n_edges = edges.count()
+    if n_edges == 0:
+        edges.unpersist()
+        return spark.createDataFrame(
+            [], "doc_id long, cluster_id long"
+        )
+    if n_edges <= CC_DRIVER_EDGE_BOUND:
+        # r7: below the (driver-memory-safe, ~32 MB) bound the candidate
+        # graph is pure Spark-job fixed cost — the iterative rounds cost
+        # ~3s for a few-thousand-edge graph. Run the SAME min-label +
+        # pointer-doubling iteration vectorized in numpy on the collected
+        # edge list; the fixed point is identical by construction
+        # (label[x] = min doc_id of x's component, indices order-share
+        # with sorted doc_ids). Past the bound the distributed loop below
+        # is untouched — this is the same bounded-driver pattern as the
+        # ngram size broadcast (loud, size-gated, exact).
+        rows = edges.collect()
+        edges.unpersist()
+        src = np.fromiter(
+            (r["src"] for r in rows), dtype=np.int64, count=len(rows)
+        )
+        dst = np.fromiter(
+            (r["dst"] for r in rows), dtype=np.int64, count=len(rows)
+        )
+        uids = np.unique(src)  # symmetric edges: src covers every vertex
+        ui = np.searchsorted(uids, src)
+        vi = np.searchsorted(uids, dst)
+        lab = np.arange(len(uids), dtype=np.int64)
+        # same round structure AND the same max_iters contract as the
+        # distributed loop: neighbor-min then one doubling hop per round,
+        # raise (never partial labels) if the budget is too small for the
+        # topology
+        for _ in range(max_iters):
+            nl = lab.copy()
+            np.minimum.at(nl, ui, lab[vi])
+            nl = np.minimum(nl, nl[nl])  # pointer doubling
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        else:
+            final = lab.copy()
+            np.minimum.at(final, ui, lab[vi])
+            if not np.array_equal(final, lab):
+                raise RuntimeError(
+                    f"dedup_clusters did not converge within {max_iters} "
+                    "rounds; raise max_iters (components deeper than "
+                    f"2^{max_iters} hops)"
+                )
+        out = pd.DataFrame(
+            {"doc_id": uids, "cluster_id": uids[lab]}
+        )
+        return spark.createDataFrame(out).orderBy("doc_id")
     try:
         par = spark.sparkContext.defaultParallelism
     except Exception:  # pragma: no cover

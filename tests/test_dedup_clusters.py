@@ -134,3 +134,44 @@ def test_ann_ivf_exact_rerank(spark):
     }
     for v, c in ivf:
         assert brute[v] == c, (v, c, brute.get(v))
+
+
+def test_driver_cc_matches_distributed_loop(spark, monkeypatch):
+    """r7 bounded driver CC fast path: labels must equal the distributed
+    label-propagation loop's fixed point on a mixed topology (chains,
+    triangles, isolated pairs, a star)."""
+    import random
+
+    import ferret_spark.pipeline as P
+
+    rng = random.Random(7)
+    pairs = set()
+    # chains
+    base = 0
+    for ln in (1, 2, 5, 9):
+        for i in range(ln):
+            pairs.add((base + i, base + i + 1))
+        base += ln + 10
+    # star + triangle + random extra edges
+    for i in range(1000, 1008):
+        pairs.add((999, i))
+    pairs.update({(2000, 2001), (2001, 2002), (2000, 2002)})
+    for _ in range(200):
+        a, b = rng.randrange(3000, 3100), rng.randrange(3000, 3100)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    pairs_df = spark.createDataFrame(
+        sorted(pairs), "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(P, "dedup_minhash_lsh", lambda s, d, **kw: pairs_df)
+    got_driver = {
+        r["doc_id"]: r["cluster_id"]
+        for r in P.dedup_clusters(spark, "unused").collect()
+    }
+    monkeypatch.setattr(P, "CC_DRIVER_EDGE_BOUND", 0)
+    got_dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in P.dedup_clusters(spark, "unused").collect()
+    }
+    assert got_driver == got_dist
+    assert len(got_driver) > 0
