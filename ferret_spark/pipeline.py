@@ -1858,19 +1858,80 @@ def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-gram polynomial runs as an Arrow-batched numpy UDF (a per-char
     interpreted HOF lambda costs ~50x; numpy sliding windows match the
     SQL twin's integers exactly)."""
-    import pandas as pd_  # noqa: F401
+    # r7: the gram/window arithmetic runs over ONE flat code array per
+    # Arrow batch instead of a numpy call per doc (the per-doc .map paid
+    # ~40us of dispatch per row). Docs are concatenated with a k-zero gap
+    # windows that run past a short doc read zeros — exactly the
+    # per-doc zero-padding — and hash slots that belong to no doc are
+    # forced to int64.max before the window-min, exactly the per-doc
+    # int64.max padding. Same integers as winnow_min_hashes by
+    # construction (pinned in tests/test_winnow.py); md5 stays JVM.
+    k, w, p_mod = WINNOW_K, WINNOW_W, WINNOW_P
+    pows = np.array(_WINNOW_POW, dtype=np.int64)
 
-    @F.pandas_udf("string")
-    def fp(ss: pd.Series) -> pd.Series:
-        return ss.map(
-            lambda s: ",".join(str(x) for x in winnow_min_hashes(s))
-        )
+    def _fps(batches):
+        import pyarrow as pa
+
+        big = np.iinfo(np.int64).max
+        for batch in batches:
+            did = batch.column(0)
+            if len(did) == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            codes_l = [
+                np.frombuffer(
+                    (t or "").encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                for t in texts
+            ]
+            lens = np.array([len(c) for c in codes_l], dtype=np.int64)
+            m = np.maximum(lens - (k - 1), 1)
+            # gap k (not k-1): an EMPTY doc's single window reads k padded
+            # zeros, so k gap slots keep it from touching the next doc
+            gap = k
+            offs = np.concatenate(
+                ([0], np.cumsum(lens + gap)[:-1])
+            ).astype(np.int64)
+            total = int(offs[-1] + lens[-1] + gap) if len(lens) else 0
+            flat = np.zeros(total + k, dtype=np.int64)
+            for i, c in enumerate(codes_l):
+                flat[offs[i] : offs[i] + lens[i]] = c
+            # rolling polynomial over the flat array (8 shifted adds) —
+            # same mod-once arithmetic as the per-doc kernel
+            h = np.zeros(total, dtype=np.int64)
+            for j in range(k):
+                h += flat[j : j + total] * pows[j]
+            h %= p_mod
+            # invalidate hash slots outside every doc's valid gram range
+            valid = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(valid, offs, 1)
+            np.add.at(valid, offs + m, -1)
+            h[np.cumsum(valid[:-1]) == 0] = big
+            # window-min of width w via shifted minima
+            mn = h[: total - (w - 1)].copy()
+            for j in range(1, w):
+                np.minimum(mn, h[j : total - (w - 1) + j], out=mn)
+            nw = np.maximum(m - (w - 1), 1)
+            out = [
+                ",".join(
+                    map(
+                        str,
+                        np.unique(mn[offs[i] : offs[i] + nw[i]]).tolist(),
+                    )
+                )
+                for i in range(len(lens))
+            ]
+            yield pa.record_batch(
+                [did, pa.array(out, type=pa.string())],
+                names=["doc_id", "fp"],
+            )
 
     d = _docs_wide(spark, sf_dir)
     norm = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
     return (
         d.selectExpr("doc_id", f"{norm} AS s")
-        .select("doc_id", F.md5(fp(F.col("s"))).alias("winnow_fp"))
+        .mapInArrow(_fps, "doc_id long, fp string")
+        .select("doc_id", F.md5(F.col("fp")).alias("winnow_fp"))
         .orderBy("doc_id")
     )
 

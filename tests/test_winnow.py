@@ -71,3 +71,40 @@ def test_local_edit_preserves_distant_windows(spark, tmp_path):
 def test_short_doc_stable(spark, tmp_path):
     fps, _ = _mins(spark, tmp_path, ["ab", "ab", "cd"])
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_flat_kernel_matches_per_doc_reference(spark, tmp_path):
+    """r7 flat-batch winnow kernel vs the per-doc numpy reference
+    (winnow_min_hashes) — identical min sets for empty, shorter-than-K,
+    exactly-K, and long docs, including gap isolation between docs."""
+    import hashlib
+
+    from ferret_spark.pipeline import winnow_min_hashes
+    import re
+
+    texts = [
+        "",
+        " ",
+        "ab",
+        "abcdefg",          # K-1 chars
+        "abcdefgh",         # exactly K
+        "abcdefghi",        # K+1
+        "abcdefghijk",      # K+W-1
+        "the quick brown fox jumps over the lazy dog",
+        "Mixed   WS\tand\nCASE here",
+        "zzzz yyyy xxxx wwww vvvv uuuu",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    path = str(tmp_path / "docs2")
+    spark.createDataFrame(rows).write.parquet(path + "/documents.parquet")
+    got = {
+        r["doc_id"]: r["winnow_fp"]
+        for r in fingerprint_winnow(spark, path).collect()
+    }
+    ws = re.compile(r"\s+")
+    for i, t in enumerate(texts):
+        norm = ws.sub(" ", t.lower()).strip()
+        want = hashlib.md5(
+            ",".join(str(x) for x in winnow_min_hashes(norm)).encode()
+        ).hexdigest()
+        assert got[i] == want, (i, norm)
