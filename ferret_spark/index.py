@@ -45,6 +45,19 @@ class SparkIndex:
         doc_id_col: str | None = None,
         cache: bool = True,
     ) -> "SparkIndex":
+        # r7: widen a narrow source before the build — a single-file
+        # corpus otherwise scans as ONE task, and the cached docs keep
+        # that width, so tokenize + the postings explode/partial-agg all
+        # ran serially until the first exchange (measured 3x on the whole
+        # build). Only applied when the scan is narrower than the
+        # cluster's parallelism; an already-wide 100 TB scan is left
+        # untouched.
+        try:
+            par = spark.sparkContext.defaultParallelism
+            if corpus.rdd.getNumPartitions() < par:
+                corpus = corpus.repartition(par)
+        except Exception:  # pragma: no cover — exotic sources
+            pass
         docs = B.build_docs(corpus, field_config, id_cols, doc_id_col)
         if cache:
             docs = docs.persist()
