@@ -397,8 +397,11 @@ def dedup_ngram_jaccard(
     # numpy pre-filter is sound (no false negatives), so the pair set is
     # unchanged. Pair multiset is identical by construction (same bucket
     # cap, same i<j enumeration).
-    _NSHARDS = 64
-    _SHARD_SHIFT = 6  # log2(_NSHARDS): pk % _NSHARDS == pk & (_NSHARDS-1)
+    # 256 shard groups: with ~cores shuffle partitions, 64 groups hashed
+    # into 64 partitions left multi-group straggler partitions (max ~3x);
+    # 256 keeps every partition at ~4 +- 2 groups at any sane width
+    _NSHARDS = 256
+    _SHARD_SHIFT = 8  # log2(_NSHARDS): pk % _NSHARDS == pk & (_NSHARDS-1)
     assert 1 << _SHARD_SHIFT == _NSHARDS
     sz_rows = sizes.collect()  # one tiny job (doc_id, n_sh)
     if len(sz_rows) <= 50_000_000:
