@@ -105,6 +105,10 @@ def main():
         FERRET_BENCH_REPS="4",
         FERRET_BENCH_BUDGET="800",
     )
+    # a stray scaling-only toggle would make bench.py omit the canary
+    # block and the gate fail with a misleading message (ADVICE r6)
+    env.pop("FERRET_BENCH_ONLY_SCALING", None)
+    env.pop("FERRET_BENCH_SKIP_SCALING", None)
     for attempt in range(1, ATTEMPTS + 1):
         print(f"[quiet_bench] attempt {attempt}: waiting for quiet window",
               flush=True)
